@@ -1,0 +1,166 @@
+"""Pallas TPU kernels for the hot elementwise/FIR ops.
+
+These are the TPU-native counterparts of the reference's two CUDA kernels
+(/root/reference/dnnlib/tflib/ops/fused_bias_act.cu, upfirdn_2d.cu). XLA's
+fusion already makes the plain-jnp paths near-optimal, so these kernels exist
+to (a) pin the fusion (bias+lrelu+gain in exactly one VPU pass regardless of
+surrounding graph), (b) serve as the parity-tested template for deeper fusion
+work, and (c) back ``impl='pallas'`` in the op wrappers.
+
+Design notes:
+  * bias_act: x is viewed as [M, K] rows with one bias per row (M = N*C for
+    NCHW). Grid over row-blocks; a (block_m, 1) bias column broadcasts on the
+    VPU. custom_vjp keeps the backward a single kernel-shaped expression that
+    is itself differentiable (2nd-order grads are exact: lrelu is piecewise
+    linear, matching the reference's grad=2 kernel semantics,
+    fused_bias_act.cu:60-100).
+  * upfirdn2d: zero-insert upsampling and stride-downsampling are pure data
+    movement (XLA relayouts); the FLOPs are the FIR taps. The kernel therefore
+    consumes a host-padded/dilated input and does the unrolled shift-and-sum
+    per (n,c) image in VMEM, with the downsample as a strided slice of the
+    accumulator.
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels run interpreted on CPU test meshes.
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# bias + lrelu + gain
+# ---------------------------------------------------------------------------
+
+def _bias_lrelu_kernel(x_ref, b_ref, y_ref, *, alpha: float, gain: float):
+    x = x_ref[:] + b_ref[:]  # (bm, K) + (bm, 1) broadcasts on the VPU
+    y_ref[:] = jnp.where(x >= 0, x, x * alpha) * gain
+
+
+def _bias_lrelu_2d(x2d: jnp.ndarray, brow: jnp.ndarray, alpha: float,
+                   gain: float) -> jnp.ndarray:
+    m, k = x2d.shape
+    bm = 8 if m % 8 == 0 else m
+    grid = (pl.cdiv(m, bm),)
+    return pl.pallas_call(
+        functools.partial(_bias_lrelu_kernel, alpha=alpha, gain=gain),
+        out_shape=jax.ShapeDtypeStruct((m, k), x2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x2d, brow[:, None].astype(x2d.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bias_act_lrelu_pallas(x, b, axis: int = 1, alpha: float = 0.2,
+                          gain: float = float(np.sqrt(2))):
+    """y = lrelu(x + b[axis]) * gain as one Pallas VPU pass. x: [N,C,H,W]."""
+    return _fwd_impl(x, b, axis, alpha, gain)
+
+
+def _fwd_impl(x, b, axis, alpha, gain):
+    n, c, h, w = x.shape
+    assert axis == 1
+    x2d = x.reshape(n * c, h * w)
+    if b is None:
+        brow = jnp.zeros((n * c,), x.dtype)
+    else:
+        brow = jnp.tile(b, n)
+    y2d = _bias_lrelu_2d(x2d, brow, alpha, gain)
+    return y2d.reshape(n, c, h, w)
+
+
+def _fwd(x, b, axis, alpha, gain):
+    y = _fwd_impl(x, b, axis, alpha, gain)
+    # lrelu is monotonic with gain>0, so sign(y) == sign(x+b): y is the only
+    # residual needed (same trick as the reference's grad kernels which take
+    # the forward output, fused_bias_act.py:96-141).
+    return y, (y, None if b is None else b.shape)
+
+def _bwd(axis, alpha, gain, res, g):
+    y, b_shape = res
+    slope = jnp.where(y >= 0, gain, gain * alpha).astype(g.dtype)
+    dx = g * slope
+    db = None if b_shape is None else jnp.sum(dx, axis=(0, 2, 3))
+    return dx, db
+
+bias_act_lrelu_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# upfirdn2d FIR core
+# ---------------------------------------------------------------------------
+
+def _fir_kernel(x_ref, y_ref, *, taps: Tuple[Tuple[float, ...], ...],
+                down: int, oh: int, ow: int):
+    """Shift-and-sum FIR over one padded image block, then strided downsample.
+
+    x_ref: (1, Hp, Wp) padded/dilated input; taps already flipped for
+    convolution and scaled by gain. Unrolled at trace time (kernels are ≤4×4
+    in every reference call site: resample_kernel=[1,3,3,1],
+    networks_stylegan2.py:339)."""
+    xp = x_ref[0]
+    kh = len(taps)
+    kw = len(taps[0])
+    # full-rate FIR extent needed to cover samples 0, down, ..., (oh-1)*down
+    fh, fw = (oh - 1) * down + 1, (ow - 1) * down + 1
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            t = taps[i][j]
+            if t == 0.0:
+                continue
+            term = xp[i:i + fh, j:j + fw] * t
+            acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((fh, fw), xp.dtype)
+    if down > 1:
+        acc = acc[::down, ::down]
+    y_ref[0] = acc
+
+
+def upfirdn2d_pallas(x, f, up: int, down: int,
+                     pad: Tuple[int, int, int, int], gain: float):
+    """Pallas-backed upfirdn2d on NCHW input (see ops/upfirdn2d.py for the
+    op contract). Host does the zero-insert + edge pad (pure relayout); the
+    kernel does the FIR + downsample per (n, c) image."""
+    padx0, padx1, pady0, pady1 = pad
+    n, c, h, w = x.shape
+    f = jnp.asarray(f, jnp.float32)
+    kh, kw = f.shape
+    xp = lax.pad(x, jnp.zeros((), x.dtype), [
+        (0, 0, 0), (0, 0, 0),
+        (pady0, pady1 + (up - 1), up - 1),
+        (padx0, padx1 + (up - 1), up - 1),
+    ])
+    hp, wp = xp.shape[2], xp.shape[3]
+    oh = (h * up + pady0 + pady1 - kh) // down + 1
+    ow = (w * up + padx0 + padx1 - kw) // down + 1
+    # flipped taps * gain, baked in as static python floats
+    kf = np.asarray(f)[::-1, ::-1] * gain
+    taps = tuple(tuple(float(v) for v in row) for row in kf)
+    xp2 = xp.reshape(n * c, hp, wp)
+    y = pl.pallas_call(
+        functools.partial(_fir_kernel, taps=taps, down=down, oh=oh, ow=ow),
+        out_shape=jax.ShapeDtypeStruct((n * c, oh, ow), x.dtype),
+        grid=(n * c,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, oh, ow), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xp2)
+    return y.reshape(n, c, oh, ow)

@@ -1,0 +1,127 @@
+"""Small host-side utilities (reference: dnnlib/util.py, training/misc.py)."""
+
+import pickle
+import re
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+
+def format_time(seconds: float) -> str:
+    """'1d 02h 03m' style elapsed-time formatting (util.py:111-123)."""
+    s = int(round(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60:02d}s"
+    if s < 86400:
+        return f"{s // 3600}h {(s // 60) % 60:02d}m {s % 60:02d}s"
+    return f"{s // 86400}d {(s // 3600) % 24:02d}h {(s // 60) % 60:02d}m"
+
+
+def is_pickleable(obj: Any) -> bool:
+    try:
+        with open("/dev/null", "wb") as f:
+            pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+        return True
+    except Exception:
+        return False
+
+
+def adjust_dynamic_range(data, drange_in, drange_out):
+    """Linear range remap, e.g. uint8 [0,255] → float [-1,1]
+    (reference: training/misc.py:36-41)."""
+    if drange_in != drange_out:
+        scale = (np.float32(drange_out[1]) - np.float32(drange_out[0])) / (
+            np.float32(drange_in[1]) - np.float32(drange_in[0]))
+        bias = np.float32(drange_out[0]) - np.float32(drange_in[0]) * scale
+        data = data * scale + bias
+    return data
+
+
+def slerp_np(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
+    """Spherical interpolation on host latents (reference: misc.py:191-203).
+    a, b: [..., D]; t scalar or broadcastable."""
+    a64 = a.astype(np.float64)
+    b64 = b.astype(np.float64)
+    an = a64 / np.linalg.norm(a64, axis=-1, keepdims=True)
+    bn = b64 / np.linalg.norm(b64, axis=-1, keepdims=True)
+    d = np.clip(np.sum(an * bn, axis=-1, keepdims=True), -1.0, 1.0)
+    omega = np.arccos(d)
+    so = np.sin(omega)
+    t = np.asarray(t, dtype=np.float64)
+    lin = (1.0 - t) * a64 + t * b64  # fallback when nearly parallel
+    sl = (np.sin((1.0 - t) * omega) / so) * a64 + (np.sin(t * omega) / so) * b64
+    return np.where(so < 1e-7, lin, sl).astype(a.dtype)
+
+
+def parse_kimg_time_from_log(log_path: str) -> Tuple[float, float]:
+    """Recover (kimg, seconds) from the last tick line of a previous run's
+    log.txt — resume capability parity with ``misc.resume_kimg_time``
+    (reference: training/misc.py:147-187)."""
+    kimg, seconds = 0.0, 0.0
+    try:
+        with open(log_path) as f:
+            for line in f:
+                m = re.search(r"kimg ([\d.]+).*time ((?:\d+d )?(?:\d+h )?(?:\d+m )?(?:\d+s)?)", line)
+                if m:
+                    kimg = float(m.group(1))
+                    seconds = _time_to_seconds(m.group(2))
+    except FileNotFoundError:
+        pass
+    return kimg, seconds
+
+
+def _time_to_seconds(text: str) -> float:
+    total = 0.0
+    for value, unit in re.findall(r"(\d+)([dhms])", text):
+        total += int(value) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
+    return total
+
+
+def load_pkl(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_pkl(obj: Any, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def create_image_grid(images: np.ndarray, grid_size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Tile [N,C,H,W] images into one [C,gh*H,gw*W] grid image
+    (reference: training/misc.py:43-61)."""
+    assert images.ndim in (3, 4)
+    num, img_c, img_h, img_w = images.shape
+    if grid_size is not None:
+        grid_w, grid_h = grid_size
+    else:
+        grid_w = max(int(np.ceil(np.sqrt(num))), 1)
+        grid_h = max((num - 1) // grid_w + 1, 1)
+    grid = np.zeros([img_c, grid_h * img_h, grid_w * img_w], dtype=images.dtype)
+    for idx in range(num):
+        x = (idx % grid_w) * img_w
+        y = (idx // grid_w) * img_h
+        grid[:, y:y + img_h, x:x + img_w] = images[idx]
+    return grid
+
+
+def convert_to_uint8_pil(images: np.ndarray, drange=(-1, 1)) -> np.ndarray:
+    """[C,H,W] or [N,C,H,W] float → HWC uint8 for PIL saving
+    (reference: misc.py:25-41 convert_to_pil_image)."""
+    img = adjust_dynamic_range(images, drange, (0, 255))
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    if img.ndim == 3:
+        return np.transpose(img, (1, 2, 0))
+    return np.transpose(img, (0, 2, 3, 1))
+
+
+def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1), grid_size=None) -> None:
+    from PIL import Image
+    grid = create_image_grid(images, grid_size)
+    hwc = convert_to_uint8_pil(grid, drange)
+    if hwc.shape[-1] == 1:
+        Image.fromarray(hwc[..., 0], "L").save(path)
+    else:
+        Image.fromarray(hwc, "RGB").save(path)
