@@ -1,0 +1,147 @@
+"""Network-level tests: output shapes, architecture variants, training-mode
+state threading (dlatent_avg EMA), truncation, and D feature head — semantics
+per /root/reference/training/networks_stylegan2.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inclusivegan_tpu.models import GMain, GSynthesis, GMapping, Discriminator, nf
+
+CFG = dict(resolution=32, num_channels=3, latent_size=64, dlatent_size=64,
+           fmap_base=512, fmap_max=64, mapping_layers=2, mapping_fmaps=64)
+
+
+def _g(architecture="skip"):
+    return GMain.create(architecture=architecture, **CFG)
+
+
+def test_generator_shapes_and_num_layers():
+    g = _g()
+    assert g.synthesis.num_layers == 2 * 5 - 2  # resolution_log2=5
+    params = g.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (4, 64))
+    img = g.apply(params, z, rng=jax.random.key(2))
+    assert img.shape == (4, 3, 32, 32)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.parametrize("arch", ["orig", "skip", "resnet"])
+def test_generator_architectures(arch):
+    g = _g(arch)
+    params = g.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    img = g.apply(params, z, rng=jax.random.key(2))
+    assert img.shape == (2, 3, 32, 32)
+
+
+def test_training_mode_returns_updated_dlatent_avg():
+    g = _g()
+    params = g.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (4, 64))
+    img, dlat, new_avg = g.apply(params, z, rng=jax.random.key(2),
+                                 is_training=True, return_dlatents=True)
+    assert img.shape == (4, 3, 32, 32)
+    assert dlat.shape == (4, g.synthesis.num_layers, 64)
+    # beta=0.995 EMA must move the average away from zero init
+    assert float(jnp.abs(new_avg).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(new_avg), np.asarray(jnp.mean(dlat[:, 0], 0) * 0.005),
+        rtol=1e-3, atol=1e-6)
+
+
+def test_truncation_contracts_toward_avg():
+    g = _g()
+    params = g.init(jax.random.key(0))
+    params = dict(params)
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    w_full = g.mapping.apply(params["mapping"], z)
+    img_t = g.apply(params, z, rng=jax.random.key(2), truncation_psi=0.0,
+                    randomize_noise=False)
+    # psi=0 → dlatents == dlatent_avg (zeros) for every sample → identical outputs
+    np.testing.assert_allclose(np.asarray(img_t[0]), np.asarray(img_t[1]),
+                               rtol=1e-4, atol=1e-5)
+    del w_full
+
+
+def test_style_mixing_changes_output_distribution():
+    g = _g()
+    params = g.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    # deterministic check: two different training rngs give different images
+    i1 = g.apply(params, z, rng=jax.random.key(2), is_training=True)[0]
+    i2 = g.apply(params, z, rng=jax.random.key(3), is_training=True)[0]
+    assert float(jnp.abs(i1 - i2).max()) > 1e-6
+
+
+@pytest.mark.parametrize("arch", ["orig", "skip", "resnet"])
+def test_discriminator_shapes(arch):
+    d = Discriminator(resolution=32, num_channels=3, fmap_base=512,
+                      fmap_max=64, architecture=arch, mbstd_group_size=2)
+    params = d.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (4, 3, 32, 32))
+    scores, features = d.apply(params, x)
+    assert scores.shape == (4,)
+    assert features.ndim == 2 and features.shape[0] == 4
+    assert np.isfinite(np.asarray(scores)).all()
+    assert np.isfinite(np.asarray(features)).all()
+
+
+def test_discriminator_feature_length_resnet():
+    """features_out = concat of: input image, fromrgb (top res only for
+    resnet), every block output, 4x4 conv, dense0, output — matching
+    feature_concat call sites (networks_stylegan2.py:467-496)."""
+    d = Discriminator(resolution=32, num_channels=3, fmap_base=512,
+                      fmap_max=64, architecture="resnet", mbstd_group_size=2)
+    params = d.init(jax.random.key(0))
+    x = jnp.zeros((2, 3, 32, 32))
+    _, features = d.apply(params, x)
+
+    def f(stage):
+        return nf(stage, 512, 1.0, 1, 64)
+
+    expected = 3 * 32 * 32            # input image
+    expected += f(4) * 32 * 32        # FromRGB at 32x32
+    expected += f(3) * 16 * 16        # block 32->16
+    expected += f(2) * 8 * 8          # block 16->8
+    expected += f(1) * 4 * 4          # block 8->4
+    expected += f(1) * 4 * 4          # 4x4 Conv
+    expected += f(0)                  # Dense0
+    expected += 1                     # Output
+    assert features.shape[1] == expected
+
+
+def test_mbstd_appends_channel():
+    from inclusivegan_tpu.models.stylegan2 import minibatch_stddev
+    x = jax.random.normal(jax.random.key(0), (6, 8, 4, 4))
+    y = minibatch_stddev(x, group_size=3)
+    assert y.shape == (6, 9, 4, 4)
+    # identical inputs → zero-ish stddev channel
+    y0 = minibatch_stddev(jnp.ones((6, 8, 4, 4)), group_size=3)
+    assert float(jnp.abs(y0[:, 8]).max()) < 1e-3
+
+
+def test_param_count_parity_formula():
+    """Weight-count parity: mapping = Σ (in+1)*out; synthesis modconv layer =
+    k²·I·O + D·I + I (+O bias) + noise_strength (print_layers-style check)."""
+    g = _g("skip")
+    params = g.init(jax.random.key(0))
+    n_map = sum(int(np.prod(l["weight"].shape)) + l["bias"].size
+                for l in params["mapping"].values())
+    assert n_map == (64 * 64 + 64) * 2
+
+    def count(tree):
+        return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+    conv = params["synthesis"]["4x4"]["Conv"]
+    assert count(conv) == 3 * 3 * 64 * 64 + 64 * 64 + 64 + 64 + 1
+
+
+def test_bf16_forward():
+    g = GMain.create(architecture="skip", dtype=jnp.bfloat16, **{k: v for k, v in CFG.items()})
+    params = g.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    img = g.apply(params, z, rng=jax.random.key(2))
+    assert img.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(img, np.float32)).all()
