@@ -1,0 +1,124 @@
+"""LPIPS perceptual distance (VGG16, Zhang et al. 2018) in JAX.
+
+Capability parity with the reference's frozen ``vgg16_zhang_perceptual.pkl``
+(loaded in the training loop itself, /root/reference/training/training_loop.py:195,
+and consumed by the G loss at loss.py:31,41 with inputs scaled to [0,255]).
+
+Design:
+  * VGG16 conv trunk with feature taps after relu1_2/relu2_2/relu3_3/relu4_3/
+    relu5_3; per-channel unit-normalization; learned (or uniform) linear head
+    per tap; spatial mean; sum over taps — the standard LPIPS pipeline.
+  * Weights load from an ``.npz`` (convert once from any public VGG16+LPIPS
+    release with scripts/convert_lpips_weights.py). This container has no
+    network egress and ships no pretrained blobs, so the default is a
+    **deterministic random-feature fallback**: He-init conv weights from a
+    fixed seed and uniform linear heads. Random VGG features are a documented,
+    usable perceptual metric (e.g. "the unreasonable effectiveness" line of
+    work); training quality numbers in BENCH files note which mode was used.
+  * Everything is a pure function of a params pytree — usable inside jitted
+    train steps and metric loops.
+"""
+
+import math
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+# (name, out_channels, pool_before) — standard VGG16 conv layout.
+_VGG_LAYOUT: List[Tuple[str, int, bool]] = [
+    ("conv1_1", 64, False), ("conv1_2", 64, False),
+    ("conv2_1", 128, True), ("conv2_2", 128, False),
+    ("conv3_1", 256, True), ("conv3_2", 256, False), ("conv3_3", 256, False),
+    ("conv4_1", 512, True), ("conv4_2", 512, False), ("conv4_3", 512, False),
+    ("conv5_1", 512, True), ("conv5_2", 512, False), ("conv5_3", 512, False),
+]
+_TAPS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
+# Zhang-net input normalization constants (RGB in [-1,1] domain).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_lpips_params(rng=None, seed: int = 0) -> Dict[str, Any]:
+    """Deterministic random-feature LPIPS params (fallback mode)."""
+    if rng is None:
+        rng = random.key(seed)
+    params: Dict[str, Any] = {"_mode": np.array(0)}  # 0 = random features
+    cin = 3
+    for name, cout, _pool in _VGG_LAYOUT:
+        rng, k = random.split(rng)
+        std = math.sqrt(2.0 / (3 * 3 * cin))
+        params[name] = {
+            "w": random.normal(k, (3, 3, cin, cout), jnp.float32) * std,
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+        cin = cout
+    for tap in _TAPS:
+        cout = dict((n, c) for n, c, _ in _VGG_LAYOUT)[tap]
+        params[f"lin_{tap}"] = jnp.full((cout,), 1.0 / cout, jnp.float32)
+    return params
+
+
+def load_lpips_params(path: str) -> Dict[str, Any]:
+    """Load converted weights: npz with keys '<conv>_w', '<conv>_b',
+    'lin_<tap>'."""
+    data = np.load(path)
+    params: Dict[str, Any] = {"_mode": np.array(1)}
+    for name, _c, _p in _VGG_LAYOUT:
+        params[name] = {"w": jnp.asarray(data[f"{name}_w"]),
+                        "b": jnp.asarray(data[f"{name}_b"])}
+    for tap in _TAPS:
+        params[f"lin_{tap}"] = jnp.asarray(data[f"lin_{tap}"])
+    return params
+
+
+def get_lpips_params(weights_path: Optional[str] = None, seed: int = 0):
+    if weights_path and os.path.exists(weights_path):
+        return load_lpips_params(weights_path)
+    return init_lpips_params(seed=seed)
+
+
+def _vgg_features(params, x) -> List[jnp.ndarray]:
+    """x: [N,3,H,W] in the zhang-normalized domain → tap activations."""
+    feats = []
+    for name, _cout, pool in _VGG_LAYOUT:
+        if pool:
+            x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 2),
+                                  (1, 1, 2, 2), "VALID")
+        w = jnp.transpose(params[name]["w"], (3, 2, 0, 1)).astype(x.dtype)
+        x = lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        x = jnp.maximum(x + params[name]["b"][None, :, None, None].astype(x.dtype), 0)
+        if name in _TAPS:
+            feats.append(x)
+    return feats
+
+
+def _normalize_channels(x, eps=1e-10):
+    return x * lax.rsqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + eps)
+
+
+def _preprocess(img_255):
+    """[0,255] RGB (reference feeds (x+1)*127.5, loss.py:27-30) → zhang domain.
+    Non-3-channel inputs are broadcast to RGB."""
+    x = img_255.astype(jnp.float32) / 127.5 - 1.0
+    if x.shape[1] == 1:
+        x = jnp.tile(x, (1, 3, 1, 1))
+    elif x.shape[1] != 3:
+        x = jnp.tile(jnp.mean(x, axis=1, keepdims=True), (1, 3, 1, 1))
+    return (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+
+
+def lpips_distance(params, img0_255, img1_255) -> jnp.ndarray:
+    """Perceptual distance per pair: [N,C,H,W] in [0,255] → [N]."""
+    f0 = _vgg_features(params, _preprocess(img0_255))
+    f1 = _vgg_features(params, _preprocess(img1_255))
+    total = 0.0
+    for tap, a, b in zip(_TAPS, f0, f1):
+        d = jnp.square(_normalize_channels(a) - _normalize_channels(b))
+        lin = params[f"lin_{tap}"][None, :, None, None]
+        total = total + jnp.mean(jnp.sum(d * lin, axis=1), axis=(1, 2))
+    return total

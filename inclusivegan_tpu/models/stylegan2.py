@@ -414,11 +414,10 @@ class GMain:
         dlatents = self.mapping.apply(params["mapping"], latents, labels)
         dlatents = dlatents.astype(jnp.float32)
 
-        new_dlatent_avg = params["dlatent_avg"]
-        if is_training and self.dlatent_avg_beta is not None:
-            batch_avg = jnp.mean(dlatents[:, 0], axis=0)
-            beta = self.dlatent_avg_beta
-            new_dlatent_avg = batch_avg + (params["dlatent_avg"] - batch_avg) * beta
+        # EMA contribution of this forward: the caller folds batch_avg into
+        # dlatent_avg via loss.fold_dlatent_avg (one lerp per training-mode
+        # forward, mirroring the reference's per-invocation assign op).
+        dlatent_batch_avg = jnp.mean(dlatents[:, 0], axis=0)
 
         if is_training and style_mixing_prob is not None and rng is not None:
             rng, k1, k2, k3 = random.split(rng, 4)
@@ -454,7 +453,7 @@ class GMain:
         if return_dlatents:
             out.append(dlatents)
         if is_training:
-            out.append(new_dlatent_avg)
+            out.append(dlatent_batch_avg)
         return tuple(out) if len(out) > 1 else images
 
 

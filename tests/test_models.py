@@ -36,19 +36,23 @@ def test_generator_architectures(arch):
     assert img.shape == (2, 3, 32, 32)
 
 
-def test_training_mode_returns_updated_dlatent_avg():
+def test_training_mode_returns_dlatent_batch_avg():
+    from inclusivegan_tpu.training.loss import fold_dlatent_avg
     g = _g()
     params = g.init(jax.random.key(0))
     z = jax.random.normal(jax.random.key(1), (4, 64))
-    img, dlat, new_avg = g.apply(params, z, rng=jax.random.key(2),
-                                 is_training=True, return_dlatents=True)
+    img, dlat, batch_avg = g.apply(params, z, rng=jax.random.key(2),
+                                   is_training=True, return_dlatents=True)
     assert img.shape == (4, 3, 32, 32)
     assert dlat.shape == (4, g.synthesis.num_layers, 64)
-    # beta=0.995 EMA must move the average away from zero init
-    assert float(jnp.abs(new_avg).max()) > 0
-    np.testing.assert_allclose(
-        np.asarray(new_avg), np.asarray(jnp.mean(dlat[:, 0], 0) * 0.005),
-        rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batch_avg),
+                               np.asarray(jnp.mean(dlat[:, 0], 0)),
+                               rtol=1e-4, atol=1e-6)
+    # folding into a zero EMA with beta=0.995 moves it by 0.005*batch_avg
+    new_avg = fold_dlatent_avg(jnp.zeros_like(batch_avg), [batch_avg], 0.995)
+    np.testing.assert_allclose(np.asarray(new_avg),
+                               np.asarray(batch_avg * 0.005),
+                               rtol=1e-3, atol=1e-6)
 
 
 def test_truncation_contracts_toward_avg():

@@ -1,0 +1,114 @@
+"""End-to-end train-step tests on the virtual 8-device CPU mesh: the fused
+G/G-reg/D/D-reg/Gs step compiles under shard_map, updates parameters, keeps
+losses finite, and threads EMA state (SURVEY.md §7 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inclusivegan_tpu.models import GMain, Discriminator
+from inclusivegan_tpu.models.lpips import init_lpips_params
+from inclusivegan_tpu.parallel import make_data_mesh
+from inclusivegan_tpu.training.train_state import create_train_state, g_trainables
+from inclusivegan_tpu.training.train_step import TrainConfig, make_train_step
+
+RES = 16
+ZDIM = 32
+MB = 16  # global; 2 per device
+
+
+@pytest.fixture(scope="module")
+def setup():
+    G = GMain.create(resolution=RES, num_channels=3, latent_size=ZDIM,
+                     dlatent_size=ZDIM, fmap_base=256, fmap_max=32,
+                     mapping_layers=2, mapping_fmaps=32)
+    D = Discriminator(resolution=RES, num_channels=3, fmap_base=256,
+                      fmap_max=32, mbstd_group_size=2)
+    lpips_params = init_lpips_params(seed=7)
+    mesh = make_data_mesh()
+    state = create_train_state(jax.random.key(0), G, D)
+    cfg = TrainConfig(mirror_augment=True)
+    step = make_train_step(G, D, lpips_params, mesh, cfg)
+    return G, D, mesh, state, step
+
+
+def _batch(seed=0):
+    r = np.random.RandomState(seed)
+    return {
+        "reals_rec_1": r.randint(0, 256, (MB, 3, RES, RES)).astype(np.uint8),
+        "latents_rec_1": r.randn(MB, ZDIM).astype(np.float32),
+        "labels_rec_1": np.zeros((MB, 0), np.float32),
+        "reals_rec_2": r.randint(0, 256, (MB, 3, RES, RES)).astype(np.uint8),
+        "latents_rec_2": r.randn(MB, ZDIM).astype(np.float32),
+        "labels_rec_2": np.zeros((MB, 0), np.float32),
+        "reals": r.randint(0, 256, (2 * MB, 3, RES, RES)).astype(np.uint8),
+        "labels": np.zeros((2 * MB, 0), np.float32),
+    }
+
+
+def test_train_step_runs_and_updates(setup):
+    G, D, mesh, state, step = setup
+    batch = _batch()
+    new_state, scalars = step(state, batch, jax.random.key(1),
+                              jnp.float32(0.002), jnp.float32(0.002),
+                              jnp.float32(0.99),
+                              do_g_reg=True, do_d_reg=True)
+    assert int(new_state.step) == 1
+    for name in ["Loss/G_total", "Loss/D_total", "Loss/loss_NN_rec_lpips",
+                 "Loss/loss_NN_interp_lpips", "Loss/loss_G_arb",
+                 "Loss/pl_penalty", "Loss/gradient_penalty_D"]:
+        assert name in scalars, name
+        assert np.isfinite(float(scalars[name])), name
+
+    # params actually moved
+    old_w = state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+    new_w = new_state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+    assert float(jnp.abs(new_w - old_w).max()) > 0
+    old_d = state.d_params["4x4"]["Conv"]["weight"]
+    new_d = new_state.d_params["4x4"]["Conv"]["weight"]
+    assert float(jnp.abs(new_d - old_d).max()) > 0
+
+    # Gs moved toward G, dlatent_avg and pl_mean updated
+    assert float(jnp.abs(new_state.gs_params["synthesis"]["4x4"]["Conv"]["weight"]
+                         - old_w).max()) > 0
+    assert float(jnp.abs(new_state.g_params["dlatent_avg"]).max()) > 0
+    assert float(new_state.pl_mean) != 0.0
+
+
+def test_train_step_no_reg_variant(setup):
+    G, D, mesh, state, step = setup
+    new_state, scalars = step(state, _batch(1), jax.random.key(2),
+                              jnp.float32(0.002), jnp.float32(0.002),
+                              jnp.float32(0.99),
+                              do_g_reg=False, do_d_reg=False)
+    assert "Loss/pl_penalty" not in scalars
+    assert "Loss/gradient_penalty_D" not in scalars
+    assert float(new_state.pl_mean) == float(state.pl_mean)
+
+
+def test_two_steps_progress_and_finite(setup):
+    G, D, mesh, state, step = setup
+    s = state
+    for i in range(2):
+        s, scalars = step(s, _batch(i), jax.random.key(i),
+                          jnp.float32(0.002), jnp.float32(0.002),
+                          jnp.float32(0.99), do_g_reg=(i % 2 == 0),
+                          do_d_reg=False)
+        assert np.isfinite(float(scalars["Loss/G_total"]))
+    assert int(s.step) == 2
+
+
+def test_adam_nan_skip():
+    from inclusivegan_tpu.training.optimizer import adam_apply, init_adam
+    params = {"w": jnp.ones((4,))}
+    st = init_adam(params)
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    p2, st2, ok = adam_apply(params, bad, st, learning_rate=0.1)
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.ones(4))
+    assert int(st2.count) == 0
+    good = {"w": jnp.ones((4,))}
+    p3, st3, ok = adam_apply(params, good, st, learning_rate=0.1)
+    assert bool(ok) and int(st3.count) == 1
+    assert float(jnp.abs(p3["w"] - params["w"]).max()) > 0
