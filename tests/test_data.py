@@ -1,0 +1,100 @@
+"""Data pipeline tests: TFRecord codec round-trip (including cross-check
+against TensorFlow's writer when available), exporter LOD pyramid, dataset
+reader, compare/extract commands."""
+
+import os
+
+import numpy as np
+import pytest
+
+from inclusivegan_tpu.data import TFRecordDataset
+from inclusivegan_tpu.data import tfrecord
+from inclusivegan_tpu.data.dataset_tool import TFRecordExporter, compare
+
+
+def test_example_roundtrip():
+    img = np.random.RandomState(0).randint(0, 256, (3, 16, 16)).astype(np.uint8)
+    payload = tfrecord.encode_image_example(img)
+    out = tfrecord.decode_image_example(payload)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_record_framing_roundtrip(tmp_path):
+    path = tmp_path / "t.tfrecords"
+    blobs = [os.urandom(n) for n in (1, 100, 5000)]
+    with open(path, "wb") as f:
+        for b in blobs:
+            tfrecord.write_record(f, b)
+    out = list(tfrecord.read_records(str(path), verify_crc=True))
+    assert out == blobs
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 zero bytes → 0x8a9136aa
+    assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+
+
+def test_tensorflow_can_read_our_records(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    img = np.random.RandomState(1).randint(0, 256, (3, 8, 8)).astype(np.uint8)
+    path = str(tmp_path / "x.tfrecords")
+    with open(path, "wb") as f:
+        tfrecord.write_record(f, tfrecord.encode_image_example(img))
+    recs = list(tf.data.TFRecordDataset(path).as_numpy_iterator())
+    assert len(recs) == 1
+    ex = tf.train.Example()
+    ex.ParseFromString(recs[0])
+    shape = list(ex.features.feature["shape"].int64_list.value)
+    data = ex.features.feature["data"].bytes_list.value[0]
+    np.testing.assert_array_equal(
+        np.frombuffer(data, np.uint8).reshape(shape), img)
+
+
+def test_exporter_and_dataset(tmp_path):
+    d = str(tmp_path / "toy")
+    images = np.random.RandomState(0).randint(
+        0, 256, (12, 3, 16, 16)).astype(np.uint8)
+    labels = np.eye(12, 5, dtype=np.float32)
+    with TFRecordExporter(d, 12, print_progress=False) as tfr:
+        for img in images:
+            tfr.add_image(img)
+        tfr.add_labels(labels)
+    # LOD pyramid files: r04 (16), r03 (8), r02 (4)
+    names = sorted(os.listdir(d))
+    assert any("-r04.tfrecords" in n for n in names)
+    assert any("-r03.tfrecords" in n for n in names)
+    assert any("-r02.tfrecords" in n for n in names)
+    assert any(n.endswith("-rxx.labels") for n in names)
+
+    ds = TFRecordDataset(d, max_label_size="full")
+    assert ds.resolution == 16 and ds.num_images == 12
+    assert ds.label_size == 5
+    np.testing.assert_array_equal(ds.get_all_images(), images)
+    mb_imgs, mb_labels = ds.get_minibatch_np(8)
+    assert mb_imgs.shape == (8, 3, 16, 16) and mb_labels.shape == (8, 5)
+
+    # lower LOD is the box-filtered pyramid level
+    ds8 = TFRecordDataset(d, resolution=8)
+    expected = np.rint(images.astype(np.float32).reshape(
+        12, 3, 8, 2, 8, 2).mean(axis=(3, 5))).clip(0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(ds8.get_all_images(), expected)
+
+    assert compare(d, d)
+
+
+def test_minibatch_epoch_wraparound(tmp_path):
+    d = str(tmp_path / "tiny")
+    images = np.arange(5 * 1 * 4 * 4, dtype=np.uint8).reshape(5, 1, 4, 4)
+    with TFRecordExporter(d, 5, print_progress=False) as tfr:
+        for img in images:
+            tfr.add_image(img)
+    ds = TFRecordDataset(d, shuffle=False)
+    seen = []
+    for _ in range(3):
+        mb, _lbl = ds.get_minibatch_np(4)
+        seen.append(mb)
+    # 12 draws over 5 images: every image appears at least twice
+    flat = np.concatenate(seen).reshape(12, -1)
+    uniq = np.unique(flat, axis=0)
+    assert len(uniq) == 5
