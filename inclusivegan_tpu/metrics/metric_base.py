@@ -1,0 +1,164 @@
+"""Metric framework — capability parity with
+/root/reference/metrics/metric_base.py.
+
+Reference behaviors kept: each metric evaluates a Gs snapshot loaded from a
+network pkl in isolation (:61-77), real-statistics caching keyed by an md5
+of the evaluation arguments (:110-117), results appended to
+``metric-<name>.txt`` (:72-75), ``MetricGroup`` fan-out (:145-158) and
+``DummyMetric`` (:163-166).
+
+TPU note: a fresh jitted sampler per evaluation replaces the reference's
+fresh tf.Graph+Session; generation batches run on the device mesh."""
+
+import hashlib
+import os
+import pickle
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.easydict import EasyDict
+from ..utils.registry import get_obj_by_name
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("INCLUSIVEGAN_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "inclusivegan_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+class GsSampler:
+    """Batched eval-mode image sampler over a snapshot's Gs."""
+
+    def __init__(self, network_pkl: str, minibatch_size: int = 32,
+                 truncation_psi: Optional[float] = None, seed: int = 1000):
+        from ..training.training_loop import load_snapshot
+        self.G, self.D, params = load_snapshot(network_pkl)
+        self.gs_params = params["gs_params"]
+        self.d_params = params["d_params"]
+        self.minibatch = minibatch_size
+        self.latent_size = self.G.mapping.latent_size
+        self.label_size = self.G.mapping.label_size
+        self.resolution = self.G.synthesis.resolution
+        self.num_channels = self.G.synthesis.num_channels
+        self._psi = truncation_psi
+        self._key = jax.random.key(seed)
+
+        @jax.jit
+        def sample(params, z, rng):
+            img = self.G.apply(params, z,
+                               jnp.zeros((z.shape[0], self.label_size)),
+                               rng=rng,
+                               truncation_psi=truncation_psi
+                               if truncation_psi is not None else 1.0)
+            return jnp.clip((img + 1.0) * 127.5, 0, 255)
+
+        self._sample = sample
+
+    def run(self, latents: np.ndarray) -> np.ndarray:
+        """latents [N,Z] → uint8-range float images [N,C,H,W] in [0,255]."""
+        outs = []
+        bs = self.minibatch
+        for i in range(0, latents.shape[0], bs):
+            z = latents[i:i + bs]
+            pad = bs - z.shape[0]
+            if pad > 0:
+                z = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
+            self._key, k = jax.random.split(self._key)
+            img = self._sample(self.gs_params, jnp.asarray(z), k)
+            outs.append(np.asarray(img)[:bs - pad if pad else bs])
+        return np.concatenate(outs)[:latents.shape[0]]
+
+    def random_images(self, num: int, seed: int = 0) -> Iterator[np.ndarray]:
+        rnd = np.random.RandomState(seed)
+        done = 0
+        while done < num:
+            take = min(self.minibatch, num - done)
+            yield self.run(rnd.randn(take, self.latent_size).astype(np.float32))
+            done += take
+
+
+class MetricBase:
+    def __init__(self, name: str):
+        self.name = name
+        self._results = []
+        self._eval_time = 0.0
+        self._network_name = ""
+
+    # -- caching (reference :110-117) -----------------------------------
+    def _get_cache_file(self, extension="pkl", **kwargs) -> str:
+        md5 = hashlib.md5(repr(sorted(kwargs.items())).encode()).hexdigest()
+        return os.path.join(_cache_dir(),
+                            f"{md5}-{self.name}.{extension}")
+
+    def run(self, network_pkl: str, run_dir: Optional[str] = None,
+            dataset_args: dict = {}, data_dir: Optional[str] = None,
+            minibatch_size: int = 32, num_devices: int = 1,
+            **eval_kwargs):
+        self._results = []
+        self._network_name = os.path.splitext(os.path.basename(network_pkl))[0]
+        t0 = time.time()
+        sampler = GsSampler(network_pkl, minibatch_size=minibatch_size)
+        self._evaluate(sampler, dataset_args=dict(dataset_args),
+                       data_dir=data_dir, **eval_kwargs)
+        self._eval_time = time.time() - t0
+
+        result_str = self.get_result_str()
+        print(result_str)
+        if run_dir is not None:
+            with open(os.path.join(run_dir, f"metric-{self.name}.txt"), "a") as f:
+                f.write(result_str + "\n")
+        return {f"{self.name}{suffix}": value
+                for value, suffix, _fmt in self._results}
+
+    def get_result_str(self) -> str:
+        out = f"{self._network_name:<30s} time {self._eval_time:<12.1f}"
+        for value, suffix, fmt in self._results:
+            out += f" {self.name}{suffix} {value:{fmt}}"
+        return out
+
+    def _report_result(self, value, suffix="", fmt="-10.4f"):
+        self._results.append((value, suffix, fmt))
+
+    def _open_dataset(self, dataset_args, data_dir):
+        from ..data.dataset import load_dataset
+        return load_dataset(data_dir=data_dir, shuffle=False, **dataset_args)
+
+    def _evaluate(self, sampler: GsSampler, dataset_args, data_dir, **kwargs):
+        raise NotImplementedError
+
+
+class DummyMetric(MetricBase):
+    def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
+        self._report_result(0.0)
+
+
+class MetricGroup:
+    def __init__(self, metric_arg_list):
+        self.metrics = [make_metric(**args) for args in metric_arg_list]
+
+    def run(self, *args, **kwargs):
+        results = {}
+        for metric in self.metrics:
+            results.update(metric.run(*args, **kwargs))
+        return results
+
+
+def make_metric(name: str, func_name: str, **kwargs) -> MetricBase:
+    cls = get_obj_by_name(func_name)
+    metric = cls(name=name, **kwargs)
+    return metric
+
+
+def run_metric(args: dict, network_pkl: str, dataset_args: dict = {},
+               data_dir: Optional[str] = None, run_dir: Optional[str] = None,
+               **kwargs):
+    args = dict(args)
+    metric = make_metric(**args)
+    return metric.run(network_pkl, run_dir=run_dir, dataset_args=dataset_args,
+                      data_dir=data_dir, **kwargs)

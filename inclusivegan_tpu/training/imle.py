@@ -1,0 +1,292 @@
+"""IMLE orchestration: DCI rebuild + per-iteration rec-batch assembly.
+
+Capability parity with the host-side choreography in
+/root/reference/training/training_loop.py:
+  * fixed latent-candidate pool of data_size·num_samples_factor (:325)
+  * staleness-doubling rebuild boundary (:354-356)
+  * candidate features = G samples, flattened, optionally multiplied by a
+    persistent random projector matrix cached to .npy (:205-212, :358-365)
+  * 1-NN latent retrieval for every real, in the rec dataset's fixed
+    iteration order (:374-404); exclusive-code mode retrieving the first
+    unused of k neighbours (:382-396)
+  * minority filtering by CelebA attrs or distance percentile, with
+    remainder carry across iterations (:409-441)
+  * slerp perturbation of retrieved latents (knn_perturb_factor, :447)
+  * dual rec batches with independent shuffles for the interp loss (:452-464)
+
+TPU-native redesign (the reference blocks training for minutes here):
+  * candidate generation runs as jitted G batches on the TPU;
+  * the DCI random projections (n·d·mL GEMM — the construction bottleneck)
+    and the optional proj_dim projector are TPU matmuls; the C++ library
+    receives precomputed projections and only sorts/walks tables;
+  * queries are likewise projected on TPU and answered in one batched
+    native call instead of a python loop of minibatch queries.
+"""
+
+import math
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dci import DCI
+from ..utils.misc import adjust_dynamic_range, slerp_np
+
+
+def func_proj_dim(init_proj_dim: Optional[int], data_size: int,
+                  num_samples_factor: int, image_dim: int) -> int:
+    """Projection dimensionality selection (reference training_loop.py:28-35):
+    None → raw image dim; 0 → Johnson–Lindenstrauss estimate (eps=0.1)."""
+    if init_proj_dim is None:
+        return image_dim
+    if init_proj_dim == 0:
+        n = data_size * num_samples_factor
+        eps = 0.1
+        return int(np.ceil(4 * math.log(n) / (eps ** 2 / 2 - eps ** 3 / 3)))
+    return int(init_proj_dim)
+
+
+def load_or_create_projector(image_dim: int, proj_dim: int,
+                             cache_dir: str = ".") -> np.ndarray:
+    """Persistent random projector matrix, cached to .npy so resumed runs
+    retrieve in the same space (reference training_loop.py:205-212)."""
+    path = os.path.join(cache_dir,
+                        f"random_projector_mat_{image_dim}to{proj_dim}.npy")
+    if os.path.isfile(path):
+        return np.load(path)
+    projector = np.random.normal(
+        0.0, 1.0 / float(proj_dim), size=(image_dim, proj_dim)).astype(np.float64)
+    np.save(path, projector)
+    return projector
+
+
+class IMLEOrchestrator:
+    """Owns the candidate pool, the DCI index, and the rec-batch cursor."""
+
+    def __init__(self, *, data_size: int, num_samples_factor: int,
+                 latent_size: int, image_dim: int,
+                 init_proj_dim: Optional[int] = None,
+                 init_staleness: int = 10,
+                 knn_perturb_factor: float = 0.05,
+                 candidate_batch_size: int = 256,
+                 exclusive_retrieved_code: bool = False,
+                 dist_thres_percentile: float = 100.0,
+                 attr_interesting: Optional[str] = None,
+                 attr_names: Optional[list] = None,
+                 num_comp_indices: int = 3, num_simp_indices: int = 15,
+                 num_levels: int = 2, seed: int = 0,
+                 drange_data=(0, 255), drange_net=(-1, 1),
+                 projector_cache_dir: str = "."):
+        self.data_size = data_size
+        self.num_samples_factor = num_samples_factor
+        self.latent_size = latent_size
+        self.image_dim = image_dim
+        self.init_proj_dim = init_proj_dim
+        self.staleness = init_staleness
+        self.knn_perturb_factor = knn_perturb_factor
+        self.candidate_batch_size = candidate_batch_size
+        self.exclusive_retrieved_code = exclusive_retrieved_code
+        self.dist_thres_percentile = dist_thres_percentile
+        self.attr_interesting = attr_interesting
+        self.attr_names = attr_names
+        self.num_levels = num_levels
+        self.drange_data = tuple(drange_data)
+        self.drange_net = tuple(drange_net)
+
+        self.proj_dim = func_proj_dim(init_proj_dim, data_size,
+                                      num_samples_factor, image_dim)
+        self.projector = None
+        if init_proj_dim is not None:
+            self.projector = load_or_create_projector(
+                image_dim, self.proj_dim, projector_cache_dir)
+
+        rnd = np.random.RandomState(seed)
+        self.latent_candidates = rnd.randn(
+            data_size * num_samples_factor, latent_size).astype(np.float32)
+        self.dci = DCI(self.proj_dim, num_comp_indices, num_simp_indices,
+                       seed=seed)
+        self._proj_vec_dev = None  # DCI directions, device-side [dim, m*L]
+        self._projector_dev = None
+
+        self.selected_latents: Optional[np.ndarray] = None
+        self.selected_dists: Optional[np.ndarray] = None
+        self.dist_thres = np.inf
+        self.cursor = 0
+        self._remainder = None  # carried (reals, labels, latents)
+        self._rng = np.random.RandomState(seed + 1)
+        self.tick_rec_batch = None  # first rec batch of the epoch (snapshots)
+
+    # ------------------------------------------------------------------
+    def needs_rebuild(self, cur_nimg: int, nimg_per_iter: int) -> bool:
+        """Staleness boundary test (reference training_loop.py:354)."""
+        if self.selected_latents is None:
+            return True
+        period = self.data_size * self.staleness
+        return cur_nimg // period != (cur_nimg - nimg_per_iter) // period
+
+    # ------------------------------------------------------------------
+    def _features_from_images(self, images_01: np.ndarray) -> np.ndarray:
+        """Flatten [-1,1] images → float64 features (optionally projected).
+        The projector matmul runs on the accelerator when available."""
+        flat = images_01.reshape(images_01.shape[0], -1)
+        if self.projector is None:
+            return flat.astype(np.float64)
+        if self._projector_dev is None:
+            self._projector_dev = jnp.asarray(self.projector, jnp.float32)
+        out = jnp.dot(jnp.asarray(flat, jnp.float32), self._projector_dev,
+                      preferred_element_type=jnp.float32)
+        return np.asarray(out).astype(np.float64)
+
+    def _dci_projections(self, features64: np.ndarray) -> np.ndarray:
+        """data @ proj_vec.T as one accelerator matmul (float32 accumulate is
+        ample: the projections only steer the priority queues; exact ranking
+        happens in float64 on the raw features)."""
+        if self._proj_vec_dev is None:
+            self._proj_vec_dev = jnp.asarray(self.dci.proj_vec.T, jnp.float32)
+        out = jnp.dot(jnp.asarray(features64, jnp.float32),
+                      self._proj_vec_dev, preferred_element_type=jnp.float32)
+        return np.asarray(out).astype(np.float64)
+
+    # ------------------------------------------------------------------
+    def rebuild(self, generate_images: Callable[[np.ndarray], np.ndarray],
+                rec_dataset, verbose: bool = True) -> None:
+        """Regenerate candidate features with the current G, rebuild the DCI
+        index, and retrieve the 1-NN latent for every real image.
+
+        generate_images: latents [B,Z] → images [B,C,H,W] in drange_net
+        (jitted G.apply batches on the TPU).
+        """
+        if self.selected_latents is not None:
+            self.staleness *= 2  # doubling (reference :354-356)
+
+        n = self.data_size * self.num_samples_factor
+        feats = np.empty((n, self.proj_dim), np.float64)
+        bs = self.candidate_batch_size
+        for i in range(0, n, bs):
+            if verbose and (i // bs) % 16 == 0:
+                print(f"\rCandidates sampling {i}/{n}...", end="", flush=True)
+            imgs = generate_images(self.latent_candidates[i:i + bs])
+            feats[i:i + bs] = self._features_from_images(np.asarray(imgs))
+        if verbose:
+            print("\rDCI constructing...                    ")
+
+        self.dci.reset(seed=int(self._rng.randint(2 ** 31)))
+        self._proj_vec_dev = None
+        proj = self._dci_projections(feats)
+        self.dci.add(feats, num_levels=self.num_levels, projections=proj)
+
+        # query every real in the rec dataset's fixed epoch order
+        reals = rec_dataset.get_all_images()[:self.data_size]
+        reals_net = adjust_dynamic_range(
+            reals.astype(np.float32), list(self.drange_data),
+            list(self.drange_net))
+        qfeats = self._features_from_images(reals_net)
+        qproj = self._dci_projections(qfeats)
+
+        if self.exclusive_retrieved_code:
+            k = self.num_samples_factor
+            ids, dists = self.dci.query(qfeats, num_neighbours=k,
+                                        field_of_view=200,
+                                        max_retrieve=max(1024, 32 * k),
+                                        projections=qproj)
+            used = set()
+            sel_ids, sel_dists = [], []
+            for row_ids, row_dists in zip(ids, dists):
+                pick = 0
+                for j, cand in enumerate(row_ids):
+                    if cand not in used:
+                        pick = j
+                        break
+                used.add(row_ids[pick])
+                sel_ids.append(row_ids[pick])
+                sel_dists.append(row_dists[pick])
+            nearest_ids = np.array(sel_ids)
+            nearest_dists = np.array(sel_dists)
+        else:
+            ids, dists = self.dci.query(qfeats, num_neighbours=1,
+                                        field_of_view=200,
+                                        projections=qproj)
+            nearest_ids = np.array([i[0] for i in ids])
+            nearest_dists = np.array([d[0] for d in dists])
+
+        self.selected_latents = self.latent_candidates[nearest_ids]
+        self.selected_dists = nearest_dists
+        self.dist_thres = np.percentile(nearest_dists,
+                                        self.dist_thres_percentile)
+        if verbose:
+            print(f"DCI retrieval done: mean 1-NN dist "
+                  f"{nearest_dists.mean():.4f}, staleness now "
+                  f"{self.staleness}")
+
+    # ------------------------------------------------------------------
+    def _row_filter(self, labels: np.ndarray, dists: np.ndarray) -> np.ndarray:
+        """Minority-attr or distance-percentile row selection
+        (reference :416-427)."""
+        if self.attr_interesting is None:
+            return dists <= self.dist_thres
+        active = np.ones(labels.shape[0], bool)
+        for attr in self.attr_interesting.split(","):
+            idx = self.attr_names.index(attr)
+            active &= labels[:, idx] == 1
+        return active
+
+    def next_rec_batch(self, rec_dataset, minibatch_size: int
+                       ) -> Tuple[np.ndarray, ...]:
+        """Assemble the two rec minibatches for one training iteration.
+
+        Returns (reals_1, labels_1, latents_1, reals_2, labels_2, latents_2)
+        with reals in the dataset's raw drange (uint8) — conversion happens
+        on device in the train step."""
+        assert self.selected_latents is not None, "rebuild() first"
+        double = minibatch_size * 2
+        reals = labels = latents = None
+        if self._remainder is not None and self.cursor % self.data_size != 0:
+            reals, labels, latents = self._remainder
+            self._remainder = None
+        at_epoch_start = self.cursor % self.data_size == 0
+        while reals is None or reals.shape[0] < double:
+            r, l = rec_dataset.get_minibatch_np(double)
+            z = self.selected_latents[
+                (self.cursor % self.data_size):
+                (self.cursor % self.data_size) + double]
+            d = self.selected_dists[
+                (self.cursor % self.data_size):
+                (self.cursor % self.data_size) + double]
+            keep = self._row_filter(l, d)
+            r, l, z = r[keep], l[keep], z[keep]
+            if reals is None or at_epoch_start:
+                reals, labels, latents = r, l, z
+                at_epoch_start = False
+            else:
+                reals = np.concatenate([reals, r])
+                labels = np.concatenate([labels, l])
+                latents = np.concatenate([latents, z])
+            self.cursor += double
+        if reals.shape[0] > double:
+            self._remainder = (reals[double:], labels[double:], latents[double:])
+            reals, labels, latents = (reals[:double], labels[:double],
+                                      latents[:double])
+        else:
+            self._remainder = None
+
+        # slerp-perturb retrieved latents (reference :447)
+        latents = slerp_np(latents,
+                           self._rng.randn(*latents.shape).astype(np.float32),
+                           self.knn_perturb_factor)
+
+        if self.tick_rec_batch is None:
+            self.tick_rec_batch = (reals.copy(), labels.copy(), latents.copy())
+
+        # independent shuffles decouple the rec pairs for the interp loss
+        order = np.arange(minibatch_size)
+        self._rng.shuffle(order)
+        r1, l1, z1 = (reals[:minibatch_size][order],
+                      labels[:minibatch_size][order],
+                      latents[:minibatch_size][order])
+        self._rng.shuffle(order)
+        r2, l2, z2 = (reals[minibatch_size:][order],
+                      labels[minibatch_size:][order],
+                      latents[minibatch_size:][order])
+        return r1, l1, z1, r2, l2, z2
