@@ -61,7 +61,7 @@ class FID(MetricBase):
 
         # Fréchet distance (reference :68-71)
         m = np.square(mu_fake - mu_real).sum()
-        s, _ = scipy.linalg.sqrtm(np.dot(sigma_fake, sigma_real), disp=False)
+        s = scipy.linalg.sqrtm(np.dot(sigma_fake, sigma_real))
         dist = m + np.trace(sigma_fake + sigma_real - 2 * s)
         self._report_result(np.real(dist))
         if feat_net.mode != "pretrained":

@@ -90,10 +90,15 @@ class Projector:
 
         @jax.jit
         def eval_outputs(latents, targets_proc):
-            img, z = images_for(latents, latents, jnp.float32(0.0))
+            # noise strength 0: no blend. (slerp(a, a, t) is degenerate, and
+            # the mapping net's pixel-norm makes the slerp's unit-norm
+            # renormalization a no-op for the synthesized image anyway.)
+            img = G.apply(self._gs_params, latents,
+                          jnp.zeros((latents.shape[0], G.mapping.label_size)),
+                          truncation_psi=1.0, randomize_noise=False)
             dist_targets = lpips_distance(self._lpips_params, proc(img),
                                           targets_proc)
-            return img, z, dist_targets
+            return img, latents, dist_targets
 
         self._opt_step = opt_step
         self._eval_outputs = eval_outputs

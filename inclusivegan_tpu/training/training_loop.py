@@ -235,7 +235,9 @@ def training_loop(
         out = g_sample(state.g_params, jnp.asarray(latents_np), k)
         return np.asarray(out[:n])
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("psi",))
     def gs_sample(params, latents, labels, rng, psi):
         return G.apply(params, latents, labels, rng=rng, truncation_psi=psi)
 

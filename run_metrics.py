@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Metric evaluation CLI — surface parity with
+/root/reference/run_metrics.py (:20-27,40-70)."""
+
+import argparse
+import sys
+
+from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
+from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+
+
+def run(submit_config, network_pkl, metrics, dataset, data_dir):
+    from inclusivegan_tpu.metrics import metric_base
+    print(f'Evaluating metrics "{",".join(m.name for m in metrics)}" '
+          f'for "{network_pkl}"...')
+    dataset_args = {"tfrecord_dir": dataset, "max_label_size": "full"}
+    results = {}
+    for args in metrics:
+        results.update(metric_base.run_metric(
+            args, network_pkl=network_pkl, dataset_args=dataset_args,
+            data_dir=data_dir, run_dir=submit_config.run_dir))
+    return results
+
+
+def _parse_comma_sep(s):
+    if s is None or s.lower() == "none" or s == "":
+        return []
+    return s.split(",")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Run StyleGAN2 metrics (TPU-native).")
+    parser.add_argument("--result-dir", default="results", metavar="DIR")
+    parser.add_argument("--network", dest="network_pkl", required=True)
+    parser.add_argument("--metrics", default="fid30k", type=_parse_comma_sep)
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--data-dir", required=True)
+    args = parser.parse_args()
+
+    metrics = []
+    for name in args.metrics:
+        if name not in metric_defaults:
+            print(f"Error: unknown metric '{name}'")
+            sys.exit(1)
+        metrics.append(metric_defaults[name])
+
+    sc = SubmitConfig()
+    sc.run_dir_root = args.result_dir
+    sc.run_desc = "run_metrics"
+    submit_run(sc, "run_metrics.run", network_pkl=args.network_pkl,
+               metrics=metrics, dataset=args.dataset, data_dir=args.data_dir)
+
+
+if __name__ == "__main__":
+    main()

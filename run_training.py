@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Training CLI — flag-compatible surface with /root/reference/run_training.py
+(argparse table :186-230, config presets :19-32,118-153), driving the
+TPU-native training loop.
+
+Config semantics: only the config-e*/config-f families are runnable in the
+reference fork (configs a–d reference functions that don't exist there,
+SURVEY.md §5 'Vestigial/broken presets'); we accept the same ids and reject
+a–d with a clear message instead of failing at name resolution."""
+
+import argparse
+import os
+import sys
+
+from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
+from inclusivegan_tpu.utils.easydict import EasyDict
+from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+
+_valid_configs = [
+    "config-a", "config-b", "config-c", "config-d", "config-e", "config-f",
+    "config-e-Gorig-Dorig", "config-e-Gorig-Dskip", "config-e-Gorig-Dresnet",
+    "config-e-Gskip-Dorig", "config-e-Gskip-Dskip", "config-e-Gskip-Dresnet",
+    "config-e-Gresnet-Dorig", "config-e-Gresnet-Dskip",
+    "config-e-Gresnet-Dresnet",
+]
+
+
+def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
+        mirror_augment, metrics, resume_pkl, minibatch_gpu, data_size,
+        num_epochs, init_proj_dim, init_staleness, num_samples_factor,
+        knn_perturb_factor, candidate_batch_size, exclusive_retrieved_code,
+        NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
+        init_mul, total_kimg=None, smoke_test_max_iters=None):
+    train = EasyDict()
+    G = EasyDict(init_mul=init_mul)
+    D = EasyDict(init_mul=init_mul)
+    G_opt = EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8)
+    D_opt = EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8)
+    G_loss = EasyDict(NN_rec_lpips_weight=NN_rec_lpips_weight)
+    D_loss = EasyDict(gamma=10.0)
+    sched = EasyDict()
+    grid = EasyDict(size="1080p")
+    sc = SubmitConfig()
+
+    train.total_kimg = total_kimg if total_kimg is not None else \
+        (data_size * num_epochs) // 1000
+    train.mirror_augment = mirror_augment
+    sched.G_lrate_base = sched.D_lrate_base = 0.002
+    sched.minibatch_gpu_base = minibatch_gpu
+    sched.minibatch_size_base = minibatch_gpu * num_devices
+    metrics = [metric_defaults[x] for x in metrics]
+    train.resume_pkl = resume_pkl
+    train.update(data_size=data_size, num_epochs=num_epochs,
+                 init_proj_dim=init_proj_dim, init_staleness=init_staleness,
+                 num_samples_factor=num_samples_factor,
+                 knn_perturb_factor=knn_perturb_factor,
+                 candidate_batch_size=candidate_batch_size,
+                 exclusive_retrieved_code=exclusive_retrieved_code,
+                 dist_thres_percentile=dist_thres_percentile,
+                 attr_interesting=attr_interesting)
+    if smoke_test_max_iters:
+        train.smoke_test_max_iters = smoke_test_max_iters
+
+    desc = "stylegan2"
+    desc += "-" + dataset
+    dataset_args = EasyDict(tfrecord_dir=dataset, max_label_size="full")
+    sc.num_devices = num_devices
+    desc += f"-{num_devices}dev"
+
+    assert config_id in _valid_configs
+    if config_id in ("config-a", "config-b", "config-c", "config-d"):
+        raise SystemExit(
+            f"{config_id} is a vestigial preset: the reference fork ships "
+            "neither its networks nor its loss (run_training.py:138-143 "
+            "reference functions that do not exist). Use config-e*/config-f.")
+    desc += "-" + config_id
+    desc += "_noProj" if init_proj_dim is None else f"_{init_proj_dim}Proj"
+    desc += f"_init_staleness_{init_staleness}"
+    desc += f"_num_samples_factor_{num_samples_factor}"
+    desc += f"_knn_perturb_factor_{knn_perturb_factor:f}"
+    desc += f"_NN_rec_lpips_weight_{NN_rec_lpips_weight:f}"
+    if attr_interesting is not None:
+        desc += "_" + attr_interesting.replace(",", "_and_")
+    desc += "_scratch" if resume_pkl is None or "_scratch" in resume_pkl else "_finetune"
+
+    # Configs A-E shrink fmaps vs config-f (reference :117)
+    if config_id != "config-f":
+        G.fmap_base = D.fmap_base = 8 << 10
+    if config_id.startswith("config-e"):
+        D_loss.gamma = 100
+        if "Gorig" in config_id:
+            G.architecture = "orig"
+        if "Gskip" in config_id:
+            G.architecture = "skip"
+        if "Gresnet" in config_id:
+            G.architecture = "resnet"
+        if "Dorig" in config_id:
+            D.architecture = "orig"
+        if "Dskip" in config_id:
+            D.architecture = "skip"
+        if "Dresnet" in config_id:
+            D.architecture = "resnet"
+    if gamma is not None:
+        D_loss.gamma = gamma
+
+    kwargs = EasyDict(train)
+    kwargs.update(G_args=G, D_args=D, G_opt_args=G_opt, D_opt_args=D_opt,
+                  G_loss_args=G_loss, D_loss_args=D_loss,
+                  dataset_args=dataset_args, sched_args=sched,
+                  grid_args=grid, metric_arg_list=metrics,
+                  data_dir=data_dir, num_devices=num_devices)
+    sc.run_dir_root = result_dir
+    sc.run_desc = desc
+    return submit_run(sc, "inclusivegan_tpu.training.training_loop.training_loop",
+                      **kwargs)
+
+
+def _str_to_bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def _parse_comma_sep(s):
+    if s is None or s.lower() == "none" or s == "":
+        return []
+    return s.split(",")
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train StyleGAN2 (TPU-native).",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--result-dir", default="results", metavar="DIR")
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--config", default="config-e", dest="config_id",
+                        metavar="CONFIG")
+    parser.add_argument("--init-mul", default=1.0, type=float)
+    # --num-gpus kept as an alias of --num-devices for script compatibility
+    parser.add_argument("--num-gpus", "--num-devices", dest="num_devices",
+                        default=1, type=int, metavar="N")
+    parser.add_argument("--gamma", default=None, type=float)
+    parser.add_argument("--mirror-augment", default=False, metavar="BOOL",
+                        type=_str_to_bool)
+    parser.add_argument("--metrics", default="fid30k", type=_parse_comma_sep)
+    parser.add_argument("--minibatch-gpu", metavar="N", default=6, type=int)
+    parser.add_argument("--data-size", metavar="N", default=30000, type=int)
+    parser.add_argument("--num-epochs", metavar="N", default=10000, type=int)
+    parser.add_argument("--total-kimg", metavar="N", default=None, type=int)
+    parser.add_argument("--init-proj-dim", metavar="N", default=None, type=int)
+    parser.add_argument("--init-staleness", metavar="N", default=10, type=int)
+    parser.add_argument("--num-samples-factor", metavar="N", default=10,
+                        type=int)
+    parser.add_argument("--knn-perturb-factor", default=0.05, type=float)
+    parser.add_argument("--candidate-batch-size", metavar="N", default=256,
+                        type=int)
+    parser.add_argument("--exclusive-retrieved-code", metavar="N", default=0,
+                        type=int)
+    parser.add_argument("--NN-rec-lpips-weight", default=2.5, type=float)
+    parser.add_argument("--dist-thres-percentile", default=100.0, type=float)
+    parser.add_argument("--attr-interesting", default=None, type=str)
+    parser.add_argument("--resume-pkl", default=None, type=str)
+    parser.add_argument("--smoke-test-max-iters", default=None, type=int,
+                        help="stop after N iterations (CI smoke runs)")
+
+    args = parser.parse_args()
+    if not os.path.exists(args.data_dir):
+        print("Error: dataset root directory does not exist.")
+        sys.exit(1)
+    if args.config_id not in _valid_configs:
+        print("Error: --config value must be one of:",
+              ", ".join(_valid_configs))
+        sys.exit(1)
+    for metric in args.metrics:
+        if metric not in metric_defaults:
+            print(f"Error: unknown metric '{metric}'")
+            sys.exit(1)
+    run(**vars(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Golden end-to-end smoke run at tiny resolution (SURVEY.md §4 item 5):
+dataset creation → full training loop with the IMLE/DCI path → run-dir
+artifacts → snapshot reload → generation → metric machinery → projector."""
+
+import glob
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from inclusivegan_tpu.data.dataset_tool import TFRecordExporter
+from inclusivegan_tpu.utils.easydict import EasyDict
+
+RES = 16
+DATA_SIZE = 64
+MB = 8  # global minibatch
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("data") / "toy")
+    r = np.random.RandomState(0)
+    images = r.randint(0, 256, (DATA_SIZE, 3, RES, RES)).astype(np.uint8)
+    labels = np.zeros((DATA_SIZE, 4), np.float32)
+    labels[np.arange(DATA_SIZE), r.randint(4, size=DATA_SIZE)] = 1.0
+    with TFRecordExporter(d, DATA_SIZE, print_progress=False) as tfr:
+        for img in images:
+            tfr.add_image(img)
+        tfr.add_labels(labels)
+    return d
+
+
+@pytest.fixture(scope="module")
+def trained_run(toy_dataset, tmp_path_factory):
+    """Run the full training loop for a handful of iterations."""
+    from inclusivegan_tpu.training.training_loop import training_loop
+    from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+
+    result_root = str(tmp_path_factory.mktemp("results"))
+    sc = SubmitConfig(run_dir_root=result_root, run_desc="smoke")
+    state = submit_run(
+        sc, "inclusivegan_tpu.training.training_loop.training_loop",
+        G_args=dict(fmap_base=256, fmap_max=32, latent_size=32,
+                    dlatent_size=32, mapping_layers=2, mapping_fmaps=32),
+        D_args=dict(fmap_base=256, fmap_max=32, mbstd_group_size=2),
+        G_loss_args=dict(NN_rec_lpips_weight=2.5),
+        D_loss_args=dict(gamma=10.0),
+        dataset_args=dict(tfrecord_dir=os.path.basename(toy_dataset),
+                          max_label_size="full"),
+        sched_args=dict(minibatch_size_base=MB, minibatch_gpu_base=MB // 8,
+                        tick_kimg_base=0.001),
+        data_dir=os.path.dirname(toy_dataset),
+        total_kimg=1,
+        data_size=DATA_SIZE, num_epochs=1, num_samples_factor=2,
+        init_staleness=10, candidate_batch_size=32,
+        knn_perturb_factor=0.05, init_proj_dim=16,
+        metric_arg_list=[], minibatch_repeats=2,
+        smoke_test_max_iters=3, seed=5)
+    run_dir = glob.glob(os.path.join(result_root, "00000-smoke"))[0]
+    return run_dir, state
+
+
+def test_run_dir_artifacts(trained_run):
+    run_dir, _ = trained_run
+    names = set(os.listdir(run_dir))
+    for expected in ["log.txt", "run.txt", "submit_config.pkl",
+                     "submit_config.txt", "arb-reals.png", "_finished.txt",
+                     "network-final.pkl", "stats.jsonl"]:
+        assert expected in names, (expected, names)
+
+
+def test_training_made_progress(trained_run):
+    _, state = trained_run
+    assert int(state.step) == 3
+    assert float(np.abs(np.asarray(state.g_params["dlatent_avg"])).max()) > 0
+
+
+def test_snapshot_roundtrip_and_generation(trained_run):
+    import jax
+    import jax.numpy as jnp
+    from inclusivegan_tpu.training.training_loop import load_snapshot
+    run_dir, _ = trained_run
+    G, D, params = load_snapshot(os.path.join(run_dir, "network-final.pkl"))
+    z = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+    img = G.apply(params["gs_params"], jnp.asarray(z),
+                  jnp.zeros((4, G.mapping.label_size)),
+                  rng=jax.random.key(0), truncation_psi=0.7)
+    assert img.shape == (4, 3, RES, RES)
+    assert np.isfinite(np.asarray(img)).all()
+    scores, feats = D.apply(params["d_params"], img)
+    assert scores.shape == (4,)
+
+
+def test_metrics_machinery_on_snapshot(trained_run, toy_dataset):
+    from inclusivegan_tpu.metrics import metric_base
+    run_dir, _ = trained_run
+    snapshot = os.path.join(run_dir, "network-final.pkl")
+    dataset_args = dict(tfrecord_dir=os.path.basename(toy_dataset),
+                        max_label_size="full")
+    res = metric_base.run_metric(
+        EasyDict(name="fid_small",
+                 func_name="inclusivegan_tpu.metrics.frechet_inception_distance.FID",
+                 num_images=32, minibatch_per_gpu=16),
+        network_pkl=snapshot, dataset_args=dataset_args,
+        data_dir=os.path.dirname(toy_dataset), run_dir=run_dir)
+    assert np.isfinite(res["fid_small"])
+    assert os.path.exists(os.path.join(run_dir, "metric-fid_small.txt"))
+
+    res = metric_base.run_metric(
+        EasyDict(name="pr_small",
+                 func_name="inclusivegan_tpu.metrics.precision_recall.PR",
+                 num_images=32, nhood_size=3, minibatch_per_gpu=16),
+        network_pkl=snapshot, dataset_args=dataset_args,
+        data_dir=os.path.dirname(toy_dataset), run_dir=run_dir)
+    assert 0.0 <= res["pr_small_precision"] <= 1.0
+
+    res = metric_base.run_metric(
+        EasyDict(name="ppl_small",
+                 func_name="inclusivegan_tpu.metrics.perceptual_path_length.PPL",
+                 num_samples=8, epsilon=1e-4, space="w", sampling="full",
+                 minibatch_per_gpu=4),
+        network_pkl=snapshot, dataset_args=dataset_args,
+        data_dir=os.path.dirname(toy_dataset), run_dir=run_dir)
+    assert np.isfinite(res["ppl_small"])
+
+
+def test_projector_reduces_distance(trained_run):
+    import jax.numpy as jnp
+    from inclusivegan_tpu.projector import Projector
+    from inclusivegan_tpu.training.training_loop import load_snapshot
+    run_dir, _ = trained_run
+    G, _D, params = load_snapshot(os.path.join(run_dir, "network-final.pkl"))
+    proj = Projector(num_steps=30)
+    proj.set_network(G, params["gs_params"], minibatch_size=2, num_steps=30)
+    # project images G can actually produce: its own samples
+    z_true = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+    targets = np.asarray(G.apply(params["gs_params"], jnp.asarray(z_true),
+                                 jnp.zeros((2, G.mapping.label_size)),
+                                 truncation_psi=1.0, randomize_noise=False))
+    proj.start(targets)
+    d0 = proj.get_dist().mean()
+    while proj.get_cur_step() < proj.num_steps:
+        proj.step()
+    d1 = proj.get_dist().mean()
+    assert np.isfinite(d1)
+    assert d1 < d0  # optimizing its own samples must reduce the distance
