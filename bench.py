@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Headline benchmark: CelebA-128 InclusiveGAN training throughput per chip.
+
+Measures the full production train step (G main with rec-LPIPS + interp-LPIPS
++ adversarial, lazy path-length reg every 4, D with 2× batches, lazy R1 every
+16, Gs EMA — training/train_step.py) at the paper's config-e-Gskip-Dresnet
+CelebA-128 setup (fmap_base 8<<10, minibatch 6/chip, BASELINE.md) over one
+reg-cadence period (16 iterations) in steady state.
+
+Baseline: the reference publishes no throughput (BASELINE.md — only
+per-run ``Timing/sec_per_kimg`` logging exists). We anchor ``vs_baseline``
+to an estimated 50 imgs/sec for the reference's README hardware
+(2×V100, TF1.14): public StyleGAN2 config-e 128px V100 rates are
+~85 imgs/sec/GPU for the plain adversarial step, and this fork's G phase
+adds three extra G forwards + three VGG-LPIPS evaluations per iteration
+(training/loss.py:25-52), which measured ~3.5× G-phase cost → ≈25 imgs/sec
+per V100, ≈50 for the README's --num-gpus=2.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 50.0  # estimated 2×V100 reference rate (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from inclusivegan_tpu.models import Discriminator, GMain
+    from inclusivegan_tpu.models.lpips import init_lpips_params
+    from inclusivegan_tpu.parallel import make_data_mesh, shard_batch
+    from inclusivegan_tpu.training.train_state import create_train_state
+    from inclusivegan_tpu.training.train_step import (TrainConfig,
+                                                      make_train_step)
+
+    res, zdim = 128, 512
+    mb_per_chip = 6  # reference --minibatch-gpu default (run_training.py)
+    n_dev = len(jax.devices())
+    mb = mb_per_chip * n_dev
+
+    G = GMain.create(resolution=res, num_channels=3, latent_size=zdim,
+                     dlatent_size=zdim, fmap_base=8 << 10,
+                     architecture="skip")
+    D = Discriminator(resolution=res, num_channels=3, fmap_base=8 << 10,
+                      architecture="resnet", mbstd_group_size=6)
+    mesh = make_data_mesh()
+    state = create_train_state(jax.random.key(0), G, D)
+    step = make_train_step(G, D, init_lpips_params(seed=1), mesh,
+                           TrainConfig(gamma=100.0))
+
+    r = np.random.RandomState(0)
+
+    def batch():
+        return shard_batch(mesh, {
+            "reals_rec_1": r.randint(0, 256, (mb, 3, res, res)).astype(np.uint8),
+            "latents_rec_1": r.randn(mb, zdim).astype(np.float32),
+            "labels_rec_1": np.zeros((mb, 0), np.float32),
+            "reals_rec_2": r.randint(0, 256, (mb, 3, res, res)).astype(np.uint8),
+            "latents_rec_2": r.randn(mb, zdim).astype(np.float32),
+            "labels_rec_2": np.zeros((mb, 0), np.float32),
+            "reals": r.randint(0, 256, (2 * mb, 3, res, res)).astype(np.uint8),
+            "labels": np.zeros((2 * mb, 0), np.float32),
+        })
+
+    key = jax.random.key(1)
+    lr = jnp.float32(0.002)
+    gs_beta = jnp.float32(0.5 ** (mb / 10000.0))
+
+    def run_period(state, start_counter):
+        """One reg-cadence period: 16 iterations with the real G/4, D/16
+        lazy-reg schedule (training_loop.py:350-352)."""
+        nonlocal key
+        for i in range(16):
+            c = start_counter + i
+            key, k = jax.random.split(key)
+            state, scalars = step(state, batch(), k, lr, lr, gs_beta,
+                                  do_g_reg=(c % 4 == 0),
+                                  do_d_reg=(c % 16 == 0))
+        jax.block_until_ready(state.g_params)
+        return state, scalars
+
+    # warmup: compiles all three step variants
+    t0 = time.time()
+    state, _ = run_period(state, 0)
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    state, scalars = run_period(state, 16)
+    elapsed = time.time() - t0
+
+    imgs_per_sec = 16 * mb / elapsed
+    per_chip = imgs_per_sec / n_dev
+    result = {
+        "metric": "celeba128_train_imgs_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "detail": {
+            "devices": n_dev,
+            "minibatch_per_chip": mb_per_chip,
+            "sec_per_kimg": round(1000.0 / imgs_per_sec, 2),
+            "warmup_sec": round(compile_time, 1),
+            "G_total": round(float(scalars["Loss/G_total"]), 4),
+            "D_total": round(float(scalars["Loss/D_total"]), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
