@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_IMGS_PER_SEC = 50.0  # estimated 2×V100 reference rate (see above)
 
 

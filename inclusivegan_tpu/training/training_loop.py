@@ -197,10 +197,11 @@ def training_loop(
     if resume_state_params is not None:
         state = state._replace(**resume_state_params)
 
-    n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.g_params))
-    n_params_d = sum(x.size for x in jax.tree_util.tree_leaves(state.d_params))
-    print(f"G params: {n_params_g:,}   D params: {n_params_d:,}   "
-          f"devices: {mesh.devices.size}")
+    from ..utils.network_util import print_layers
+    print_layers({"mapping": state.g_params["mapping"],
+                  "synthesis": state.g_params["synthesis"]}, "G")
+    print_layers(state.d_params, "D")
+    print(f"devices: {mesh.devices.size}")
 
     # ------------------------------------------------------------ IMLE
     image_dim = int(np.prod(training_set.shape))
