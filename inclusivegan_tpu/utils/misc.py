@@ -40,19 +40,20 @@ def adjust_dynamic_range(data, drange_in, drange_out):
 
 
 def slerp_np(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
-    """Spherical interpolation on host latents (reference: misc.py:191-203).
-    a, b: [..., D]; t scalar or broadcastable."""
-    a64 = a.astype(np.float64)
-    b64 = b.astype(np.float64)
-    an = a64 / np.linalg.norm(a64, axis=-1, keepdims=True)
-    bn = b64 / np.linalg.norm(b64, axis=-1, keepdims=True)
-    d = np.clip(np.sum(an * bn, axis=-1, keepdims=True), -1.0, 1.0)
-    omega = np.arccos(d)
-    so = np.sin(omega)
-    t = np.asarray(t, dtype=np.float64)
-    lin = (1.0 - t) * a64 + t * b64  # fallback when nearly parallel
-    sl = (np.sin((1.0 - t) * omega) / so) * a64 + (np.sin(t * omega) / so) * b64
-    return np.where(so < 1e-7, lin, sl).astype(a.dtype)
+    """Spherical interpolation on host latents — exact formula parity with
+    the reference (training/misc.py:196-203): inputs normalized, result
+    re-normalized to the unit sphere. a, b: [..., D]."""
+
+    def normalize(v):
+        return v / np.sqrt(np.sum(np.square(v), axis=-1, keepdims=True))
+
+    a64 = normalize(a.astype(np.float64))
+    b64 = normalize(b.astype(np.float64))
+    d = np.clip(np.sum(a64 * b64, axis=-1, keepdims=True), -1.0, 1.0)
+    p = np.asarray(t, np.float64) * np.arccos(d)
+    c = normalize(b64 - d * a64)
+    out = a64 * np.cos(p) + c * np.sin(p)
+    return normalize(out).astype(a.dtype)
 
 
 def parse_kimg_time_from_log(log_path: str) -> Tuple[float, float]:
