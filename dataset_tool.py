@@ -42,6 +42,20 @@ def main():
     p.add_argument("tfrecord_dir")
     p.add_argument("cifar10_dir")
 
+    p = sub.add_parser("create_cifar100", help="Create dataset for CIFAR-100")
+    p.add_argument("tfrecord_dir")
+    p.add_argument("cifar100_dir")
+
+    p = sub.add_parser("create_svhn", help="Create dataset for SVHN")
+    p.add_argument("tfrecord_dir")
+    p.add_argument("svhn_dir")
+
+    p = sub.add_parser("create_lsun", help="Create dataset from LSUN lmdb")
+    p.add_argument("tfrecord_dir")
+    p.add_argument("lmdb_dir")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--max_images", type=int, default=None)
+
     p = sub.add_parser("create_celeba", help="Create dataset for CelebA")
     p.add_argument("tfrecord_dir")
     p.add_argument("celeba_dir")

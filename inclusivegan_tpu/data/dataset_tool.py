@@ -164,6 +164,67 @@ def create_cifar10(tfrecord_dir: str, cifar10_dir: str):
         tfr.add_labels(onehot[order])
 
 
+def create_cifar100(tfrecord_dir: str, cifar100_dir: str):
+    """CIFAR-100 train split, one-hot fine labels (reference :363-381)."""
+    with open(os.path.join(cifar100_dir, "train"), "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    images = data["data"].reshape(-1, 3, 32, 32)
+    labels = np.array(data["fine_labels"], np.uint8)
+    onehot = np.zeros((labels.size, 100), np.float32)
+    onehot[np.arange(labels.size), labels] = 1.0
+    with TFRecordExporter(tfrecord_dir, images.shape[0]) as tfr:
+        for img in images:
+            tfr.add_image(img)
+        tfr.add_labels(onehot)
+
+
+def create_svhn(tfrecord_dir: str, svhn_dir: str):
+    """SVHN train split from the .mat files (reference :384-404)."""
+    import scipy.io
+    images, labels = [], []
+    for batch in ("train_32x32.mat",):
+        data = scipy.io.loadmat(os.path.join(svhn_dir, batch))
+        images.append(np.transpose(data["X"], (3, 2, 0, 1)))
+        labels.append(data["y"].flatten() % 10)  # '10' encodes digit 0
+    images = np.concatenate(images)
+    labels = np.concatenate(labels).astype(np.uint8)
+    onehot = np.zeros((labels.size, 10), np.float32)
+    onehot[np.arange(labels.size), labels] = 1.0
+    with TFRecordExporter(tfrecord_dir, images.shape[0]) as tfr:
+        for img in images:
+            tfr.add_image(img)
+        tfr.add_labels(onehot)
+
+
+def create_lsun(tfrecord_dir: str, lmdb_dir: str, resolution: int = 256,
+                max_images: Optional[int] = None):
+    """LSUN bedroom-style lmdb (reference :407-444). Needs the optional
+    ``lmdb`` package; center-crops to square and box-resizes to
+    ``resolution``."""
+    import io
+    import lmdb  # gated optional dependency
+    from PIL import Image
+    with lmdb.open(lmdb_dir, readonly=True).begin(write=False) as txn:
+        total = max_images or txn.stat()["entries"]
+        with TFRecordExporter(tfrecord_dir, total) as tfr:
+            for _key, value in txn.cursor():
+                try:
+                    img = Image.open(io.BytesIO(value))
+                    img = img.convert("RGB")
+                    arr = np.asarray(img)
+                except Exception:
+                    continue
+                crop = min(arr.shape[0], arr.shape[1])
+                y0 = (arr.shape[0] - crop) // 2
+                x0 = (arr.shape[1] - crop) // 2
+                arr = arr[y0:y0 + crop, x0:x0 + crop]
+                img = Image.fromarray(arr).resize((resolution, resolution),
+                                                  Image.LANCZOS)
+                tfr.add_image(np.asarray(img).transpose(2, 0, 1))
+                if tfr.cur_images >= total:
+                    break
+
+
 def create_celeba(tfrecord_dir: str, celeba_dir: str, cx: int = 89,
                   cy: int = 121, num_images: Optional[int] = None,
                   attr_file: Optional[str] = None):
