@@ -4,8 +4,9 @@
 Measures the full production train step (G main with rec-LPIPS + interp-LPIPS
 + adversarial, lazy path-length reg every 4, D with 2× batches, lazy R1 every
 16, Gs EMA — training/train_step.py) at the paper's config-e-Gskip-Dresnet
-CelebA-128 setup (fmap_base 8<<10, minibatch 6/chip, BASELINE.md) over one
-reg-cadence period (16 iterations) in steady state.
+CelebA-128 setup (fmap_base 8<<10, minibatch 6/chip, BASELINE.md) over 48
+reg-cadence iterations in steady state, fenced by a host transfer of the
+final parameters (block_until_ready is unreliable through the remote relay).
 
 Baseline: the reference publishes no throughput (BASELINE.md — only
 per-run ``Timing/sec_per_kimg`` logging exists). We anchor ``vs_baseline``
@@ -72,29 +73,35 @@ def main():
     lr = jnp.float32(0.002)
     gs_beta = jnp.float32(0.5 ** (mb / 10000.0))
 
-    def run_period(state, start_counter):
-        """One reg-cadence period: 16 iterations with the real G/4, D/16
-        lazy-reg schedule (training_loop.py:350-352)."""
+    def fence(state):
+        """Force full execution: block_until_ready is unreliable through the
+        remote-TPU relay, so fetch a value that depends on the final state."""
+        return float(jnp.sum(state.g_params["synthesis"]["4x4"]["Conv"]["bias"]))
+
+    def run_period(state, start_counter, iters=16):
+        """Reg-cadence iterations with the real G/4, D/16 lazy-reg schedule
+        (training_loop.py:350-352)."""
         nonlocal key
-        for i in range(16):
+        for i in range(iters):
             c = start_counter + i
             key, k = jax.random.split(key)
             state, scalars = step(state, batch(), k, lr, lr, gs_beta,
                                   do_g_reg=(c % 4 == 0),
                                   do_d_reg=(c % 16 == 0))
-        jax.block_until_ready(state.g_params)
+        fence(state)
         return state, scalars
 
-    # warmup: compiles all three step variants
+    # warmup: compiles all four phase programs
     t0 = time.time()
     state, _ = run_period(state, 0)
     compile_time = time.time() - t0
 
+    iters = 48
     t0 = time.time()
-    state, scalars = run_period(state, 16)
+    state, scalars = run_period(state, 16, iters=iters)
     elapsed = time.time() - t0
 
-    imgs_per_sec = 16 * mb / elapsed
+    imgs_per_sec = iters * mb / elapsed
     per_chip = imgs_per_sec / n_dev
     result = {
         "metric": "celeba128_train_imgs_per_sec_per_chip",
