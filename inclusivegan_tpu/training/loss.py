@@ -70,7 +70,8 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 latents_rec_1, reals_rec_1, labels_rec_1,
                 latents_rec_2, reals_rec_2, labels_rec_2,
                 arb_latents, arb_labels,
-                NN_rec_lpips_weight: float = 2.5) -> GLossOut:
+                NN_rec_lpips_weight: float = 2.5,
+                lpips_dtype=jnp.float32) -> GLossOut:
     """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS."""
     n = latents_rec_1.shape[0]
     rng, k_t, k1, k2, k3, k4 = random.split(rng, 6)
@@ -85,16 +86,20 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
 
     rec1 = g_forward(latents_rec_1, labels_rec_1, k1)
     rec2 = g_forward(latents_rec_2, labels_rec_2, k2)
-    loss_rec = 0.5 * (lpips_distance(lpips_params, _to_255(rec1), _to_255(reals_rec_1))
-                      + lpips_distance(lpips_params, _to_255(rec2), _to_255(reals_rec_2)))
+    loss_rec = 0.5 * (lpips_distance(lpips_params, _to_255(rec1),
+                                     _to_255(reals_rec_1), dtype=lpips_dtype)
+                      + lpips_distance(lpips_params, _to_255(rec2),
+                                       _to_255(reals_rec_2), dtype=lpips_dtype))
     loss_rec = loss_rec * NN_rec_lpips_weight
 
     t = random.uniform(k_t, (n, 1))
     interp_latents = slerp(latents_rec_2, latents_rec_1, t)
     interp_labels = lerp(labels_rec_2, labels_rec_1, t) if labels_rec_1.size else labels_rec_1
     interp = g_forward(interp_latents, interp_labels, k3)
-    d2 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_2))
-    d1 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_1))
+    d2 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_2),
+                        dtype=lpips_dtype)
+    d1 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_1),
+                        dtype=lpips_dtype)
     loss_interp = lerp(d2, d1, jnp.squeeze(t, axis=1)) * (NN_rec_lpips_weight * 0.4)
 
     arb = g_forward(arb_latents, arb_labels, k4)
