@@ -143,9 +143,13 @@ def training_loop(
     num_devices: Optional[int] = None,
     seed: int = 1000,
     smoke_test_max_iters: Optional[int] = None,
+    enable_profiler: bool = False,   # jax.profiler trace of iters 8-16
+    save_full_checkpoints: bool = True,  # orbax state (params+opt+EMA)
 ):
     run_dir = submit_config.run_dir if submit_config is not None else "."
     stats = StatsCollector(run_dir)
+    from ..utils.tfevents import EventWriter
+    events = EventWriter(run_dir)
     ctx = RunContext(submit_config) if submit_config is not None else None
     np.random.seed(seed)
 
@@ -307,6 +311,10 @@ def training_loop(
             cur_nimg += mb
             running_mb_counter += 1
             iters_done += 1
+            if enable_profiler and iters_done == 8:
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+            if enable_profiler and iters_done == 16:
+                jax.profiler.stop_trace()
             if iters_done % 8 == 0 or iters_done <= 2:
                 stats.report_dict({k: float(v) for k, v in scalars.items()})
             if smoke_test_max_iters and iters_done >= smoke_test_max_iters:
@@ -328,7 +336,8 @@ def training_loop(
                   f"sec/kimg {tick_time / max(tick_kimg, 1e-8):<7.2f}")
             stats.report("Timing/sec_per_tick", tick_time)
             stats.report("Timing/sec_per_kimg", tick_time / max(tick_kimg, 1e-8))
-            stats.flush(step=cur_nimg)
+            events.add_scalars(stats.flush(step=cur_nimg), step=cur_nimg)
+            events.flush()
             tick_start_nimg = cur_nimg
             tick_start_time = time.time()
             if ctx is not None:
@@ -342,12 +351,20 @@ def training_loop(
                 path = os.path.join(run_dir,
                                     f"network-snapshot-{cur_nimg // 1000:06d}.pkl")
                 misc.save_pkl(snapshot_dict(G, D, state), path)
+                if save_full_checkpoints:
+                    from .checkpoint import save_checkpoint
+                    save_checkpoint(
+                        os.path.join(run_dir, "checkpoints"), state,
+                        imle_state={"cursor": int(imle.cursor),
+                                    "staleness": int(imle.staleness)},
+                        step=cur_nimg)
                 _run_metrics(metric_arg_list, path, dataset_args, data_dir,
                              run_dir, mesh)
 
     misc.save_pkl(snapshot_dict(G, D, state),
                   os.path.join(run_dir, "network-final.pkl"))
-    stats.flush(step=cur_nimg)
+    events.add_scalars(stats.flush(step=cur_nimg), step=cur_nimg)
+    events.close()
     stats.close()
     if ctx is not None:
         ctx.close()

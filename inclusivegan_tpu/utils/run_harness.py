@@ -43,6 +43,9 @@ class SubmitConfig(EasyDict):
         self.run_func_kwargs = {}
         self.num_devices = 1          # reference: num_gpus
         self.print_info = False
+        # copy the framework source into run_dir/src for reproducibility
+        # (reference submit.py:227-252; its CLIs default this off too)
+        self.copy_source_files = False
         # populated by submit_run:
         self.run_id = None
         self.run_name = None
@@ -98,6 +101,15 @@ def submit_run(submit_config: SubmitConfig, run_func_name: str, **run_func_kwarg
         pickle.dump(submit_config, f)
     with open(os.path.join(run_dir, "submit_config.txt"), "w") as f:
         f.write(pretty(submit_config) + "\n")
+
+    if submit_config.get("copy_source_files"):
+        import shutil
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(run_dir, "src", os.path.basename(pkg_dir))
+        shutil.copytree(
+            pkg_dir, dst,
+            ignore=shutil.ignore_patterns(*submit_config.run_dir_ignore,
+                                          "*.so", "*.pyc"))
 
     # --- run wrapper --------------------------------------------------------
     logger = Logger(os.path.join(run_dir, "log.txt"), mode="w")
