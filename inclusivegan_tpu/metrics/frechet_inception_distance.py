@@ -19,14 +19,20 @@ from .metric_base import MetricBase
 
 class FID(MetricBase):
     def __init__(self, name, num_images=10000, minibatch_per_gpu=8,
-                 feature_net_weights=None, **kwargs):
+                 feature_net="inception_v3", feature_net_weights=None,
+                 **kwargs):
         super().__init__(name)
         self.num_images = num_images
         self.minibatch = minibatch_per_gpu
+        self.feature_net = feature_net
         self.feature_net_weights = feature_net_weights
 
     def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
-        feat_net = VGGFeatureNet(self.feature_net_weights)
+        if self.feature_net == "inception_v3":
+            from ..models.inception import InceptionV3
+            feat_net = InceptionV3(self.feature_net_weights)
+        else:
+            feat_net = VGGFeatureNet(self.feature_net_weights)
 
         # reals (cached)
         cache = self._get_cache_file(dataset_args=repr(dataset_args),

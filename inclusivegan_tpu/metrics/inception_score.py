@@ -14,26 +14,24 @@ from .metric_base import MetricBase
 class IS(MetricBase):
     def __init__(self, name, num_images=50000, num_splits=10,
                  minibatch_per_gpu=8, classifier=None, num_classes=1008,
-                 **kwargs):
+                 classifier_weights=None, **kwargs):
         super().__init__(name)
         self.num_images = num_images
         self.num_splits = num_splits
         self.minibatch = minibatch_per_gpu
         self.classifier = classifier
         self.num_classes = num_classes
+        self.classifier_weights = classifier_weights
 
     def _default_classifier(self):
-        feat_net = VGGFeatureNet()
-        proj = np.random.RandomState(0).randn(
-            feat_net.feature_dim, self.num_classes).astype(np.float32)
+        from ..models.inception import InceptionV3
+        net = InceptionV3(self.classifier_weights,
+                          num_logits=self.num_classes)
 
         def classify(images_255):
-            logits = feat_net(images_255) @ proj
-            logits -= logits.max(1, keepdims=True)
-            e = np.exp(logits)
-            return e / e.sum(1, keepdims=True)
+            return net.softmax_probs(images_255)
 
-        classify.mode = "placeholder-random"
+        classify.mode = net.mode
         return classify
 
     def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
@@ -54,4 +52,4 @@ class IS(MetricBase):
         self._report_result(float(np.mean(scores)), suffix="_mean")
         self._report_result(float(np.std(scores)), suffix="_std")
         if getattr(classify, "mode", "pretrained") != "pretrained":
-            self._report_result(1.0, suffix="_placeholder_classifier", fmt="-1.0f")
+            self._report_result(1.0, suffix="_random_classifier", fmt="-1.0f")
