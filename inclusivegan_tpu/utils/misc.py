@@ -1,5 +1,6 @@
 """Small host-side utilities (reference: dnnlib/util.py, training/misc.py)."""
 
+import os
 import pickle
 import re
 from typing import Any, Optional, Tuple
@@ -78,6 +79,62 @@ def _time_to_seconds(text: str) -> float:
     for value, unit in re.findall(r"(\d+)([dhms])", text):
         total += int(value) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
     return total
+
+
+def convert_images_from_uint8(images, drange=(-1, 1)):
+    """uint8 [0,255] → float drange (reference tfutil.py:245-252)."""
+    return adjust_dynamic_range(np.asarray(images, np.float32),
+                                [0, 255], list(drange))
+
+
+def convert_images_to_uint8(images, drange=(-1, 1), nchw_to_nhwc=False):
+    """float drange → uint8 (reference tfutil.py:255-267), optional NHWC."""
+    img = adjust_dynamic_range(np.asarray(images, np.float32),
+                               list(drange), [0, 255])
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    if nchw_to_nhwc:
+        img = np.transpose(img, (0, 2, 3, 1))
+    return img
+
+
+def is_url(obj: Any) -> bool:
+    return isinstance(obj, str) and "://" in obj
+
+
+def open_url(url: str, cache_dir: Optional[str] = None, num_attempts: int = 10,
+             verbose: bool = True):
+    """Download with retry + on-disk cache, returning an open binary file
+    (reference dnnlib/util.py:328-408). Kept for API parity; this build
+    container has no egress, so callers should expect failures here and
+    provide local files."""
+    import hashlib
+    import io
+    import urllib.request
+    assert is_url(url)
+    assert num_attempts >= 1
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "inclusivegan_tpu", "downloads")
+    os.makedirs(cache_dir, exist_ok=True)
+    key = hashlib.md5(url.encode()).hexdigest()
+    for name in os.listdir(cache_dir):
+        if name.startswith(key):
+            with open(os.path.join(cache_dir, name), "rb") as f:
+                return io.BytesIO(f.read())
+    for attempt in range(num_attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=60) as res:
+                data = res.read()
+            path = os.path.join(cache_dir, f"{key}_{os.path.basename(url)[:64]}")
+            with open(path, "wb") as f:
+                f.write(data)
+            return io.BytesIO(data)
+        except Exception:
+            if attempt == num_attempts - 1:
+                raise
+            if verbose:
+                print(f"open_url retry {attempt + 1}/{num_attempts}: {url}")
+    raise IOError(url)
 
 
 def load_pkl(path: str) -> Any:
