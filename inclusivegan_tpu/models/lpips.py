@@ -112,20 +112,29 @@ def _preprocess(img_255):
     return (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
 
 
-def lpips_distance(params, img0_255, img1_255, dtype=jnp.float32) -> jnp.ndarray:
-    """Perceptual distance per pair: [N,C,H,W] in [0,255] → [N] (float32).
+def lpips_features(params, img_255, dtype=jnp.float32):
+    """[N,C,H,W] in [0,255] → list of channel-normalized tap activations.
 
     ``dtype`` selects the VGG conv compute precision — bfloat16 runs the
-    trunk on the MXU at ~2× with the channel-normalization and final
-    reductions kept in float32 (the distance is a training loss; measured
-    bf16-vs-f32 deviation is at the few-permille level)."""
-    f0 = _vgg_features(params, _preprocess(img0_255).astype(dtype))
-    f1 = _vgg_features(params, _preprocess(img1_255).astype(dtype))
+    trunk on the MXU at ~2× with the channel-normalization and reductions
+    kept in float32 (measured bf16-vs-f32 distance deviation ~1e-5).
+    Exposed so callers can embed MANY images in one batched VGG call and
+    form several distance pairs from slices (training/loss.g_main_loss)."""
+    feats = _vgg_features(params, _preprocess(img_255).astype(dtype))
+    return [_normalize_channels(f.astype(jnp.float32)) for f in feats]
+
+
+def lpips_distance_from_features(params, f0, f1) -> jnp.ndarray:
     total = 0.0
     for tap, a, b in zip(_TAPS, f0, f1):
-        a = _normalize_channels(a.astype(jnp.float32))
-        b = _normalize_channels(b.astype(jnp.float32))
         d = jnp.square(a - b)
         lin = params[f"lin_{tap}"][None, :, None, None]
         total = total + jnp.mean(jnp.sum(d * lin, axis=1), axis=(1, 2))
     return total
+
+
+def lpips_distance(params, img0_255, img1_255, dtype=jnp.float32) -> jnp.ndarray:
+    """Perceptual distance per pair: [N,C,H,W] in [0,255] → [N] (float32)."""
+    return lpips_distance_from_features(
+        params, lpips_features(params, img0_255, dtype),
+        lpips_features(params, img1_255, dtype))

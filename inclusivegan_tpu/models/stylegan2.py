@@ -389,6 +389,32 @@ class GMain:
 
     NON_TRAINABLE = ("noise", "dlatent_avg")
 
+    def map_latents(self, params: Params, latents, labels=None, *, rng=None,
+                    style_mixing_prob="default"):
+        """Training-mode mapping + style-mixing: z → dlatents [B, L, D]
+        (float32) plus the batch average for the dlatent_avg EMA. Exposed so
+        callers can batch several logical G forwards into one synthesis call
+        while keeping an independent mixing draw per group (see
+        training/loss.g_main_loss)."""
+        if style_mixing_prob == "default":
+            style_mixing_prob = self.style_mixing_prob
+        num_layers = self.synthesis.num_layers
+        dlatents = self.mapping.apply(params["mapping"], latents,
+                                      labels).astype(jnp.float32)
+        batch_avg = jnp.mean(dlatents[:, 0], axis=0)
+        if style_mixing_prob is not None and rng is not None:
+            rng, k1, k2, k3 = random.split(rng, 4)
+            latents2 = random.normal(k1, latents.shape, latents.dtype)
+            dlatents2 = self.mapping.apply(params["mapping"], latents2,
+                                           labels).astype(jnp.float32)
+            layer_idx = jnp.arange(num_layers)[None, :, None]
+            mixing_cutoff = jnp.where(
+                random.uniform(k2) < style_mixing_prob,
+                random.randint(k3, (), 1, num_layers),
+                jnp.asarray(num_layers))
+            dlatents = jnp.where(layer_idx < mixing_cutoff, dlatents, dlatents2)
+        return dlatents, batch_avg
+
     def apply(self, params: Params, latents, labels=None, *, rng=None,
               is_training: bool = False, truncation_psi=None,
               truncation_cutoff="default", randomize_noise: Optional[bool] = None,

@@ -72,37 +72,52 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 arb_latents, arb_labels,
                 NN_rec_lpips_weight: float = 2.5,
                 lpips_dtype=jnp.float32) -> GLossOut:
-    """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS."""
+    """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS.
+
+    TPU batching: the four logical G forwards (rec1, rec2, interp, arb — the
+    reference runs them as separate graph invocations, loss.py:25-48) keep
+    independent mapping/mixing draws but share ONE synthesis call of 4n
+    images, and all five image stacks needing LPIPS features (three
+    generated + two real) go through ONE VGG call of 5n — per-sample
+    semantics are unchanged (no cross-batch ops in G or VGG) while MXU
+    utilization at the reference's small minibatch roughly doubles."""
     n = latents_rec_1.shape[0]
-    rng, k_t, k1, k2, k3, k4 = random.split(rng, 6)
-    avgs = []
-
-    def g_forward(z, labels, key):
-        img, dlat, batch_avg = G.apply(
-            g_params, z, labels, rng=key, is_training=True,
-            return_dlatents=True)
-        avgs.append(batch_avg)
-        return img
-
-    rec1 = g_forward(latents_rec_1, labels_rec_1, k1)
-    rec2 = g_forward(latents_rec_2, labels_rec_2, k2)
-    loss_rec = 0.5 * (lpips_distance(lpips_params, _to_255(rec1),
-                                     _to_255(reals_rec_1), dtype=lpips_dtype)
-                      + lpips_distance(lpips_params, _to_255(rec2),
-                                       _to_255(reals_rec_2), dtype=lpips_dtype))
-    loss_rec = loss_rec * NN_rec_lpips_weight
-
+    rng, k_t, k1, k2, k3, k4, k_noise = random.split(rng, 7)
     t = random.uniform(k_t, (n, 1))
     interp_latents = slerp(latents_rec_2, latents_rec_1, t)
     interp_labels = lerp(labels_rec_2, labels_rec_1, t) if labels_rec_1.size else labels_rec_1
-    interp = g_forward(interp_latents, interp_labels, k3)
-    d2 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_2),
-                        dtype=lpips_dtype)
-    d1 = lpips_distance(lpips_params, _to_255(interp), _to_255(reals_rec_1),
-                        dtype=lpips_dtype)
-    loss_interp = lerp(d2, d1, jnp.squeeze(t, axis=1)) * (NN_rec_lpips_weight * 0.4)
 
-    arb = g_forward(arb_latents, arb_labels, k4)
+    groups = [
+        (latents_rec_1, labels_rec_1, k1),
+        (latents_rec_2, labels_rec_2, k2),
+        (interp_latents, interp_labels, k3),
+        (arb_latents, arb_labels, k4),
+    ]
+    dlats, avgs = [], []
+    for z, labels, key in groups:
+        dl, avg = G.map_latents(g_params, z, labels, rng=key)
+        dlats.append(dl)
+        avgs.append(avg)
+    imgs = G.synthesis.apply(g_params["synthesis"], jnp.concatenate(dlats),
+                             noise=g_params["noise"], rng=k_noise,
+                             randomize_noise=True)
+    rec1, rec2, interp, arb = jnp.split(imgs, 4)
+
+    from ..models.lpips import lpips_distance_from_features, lpips_features
+    stack = jnp.concatenate([_to_255(rec1), _to_255(rec2), _to_255(interp),
+                             _to_255(reals_rec_1), _to_255(reals_rec_2)])
+    feats = lpips_features(lpips_params, stack, dtype=lpips_dtype)
+    f_rec1, f_rec2, f_interp, f_real1, f_real2 = zip(
+        *(jnp.split(f, 5) for f in feats))
+
+    def dist(a, b):
+        return lpips_distance_from_features(lpips_params, a, b)
+
+    loss_rec = 0.5 * (dist(f_rec1, f_real1) + dist(f_rec2, f_real2))
+    loss_rec = loss_rec * NN_rec_lpips_weight
+    loss_interp = lerp(dist(f_interp, f_real2), dist(f_interp, f_real1),
+                       jnp.squeeze(t, axis=1)) * (NN_rec_lpips_weight * 0.4)
+
     arb_scores, _ = D.apply(d_params, arb, arb_labels)
     loss_arb = jax.nn.softplus(-arb_scores)
 
