@@ -176,14 +176,25 @@ def g_path_reg(g_params, *, G, rng, pl_mean, minibatch_size: int,
 
 def d_main_loss(d_params, g_params, *, G, D, rng, reals, labels,
                 arb_latents, arb_labels):
-    """D main loss (reference loss.py:93-105). reals/fakes both 2×mb."""
+    """D main loss (reference loss.py:93-105). reals/fakes both 2×mb.
+
+    TPU batching: fakes and reals share one D call when the fake count is a
+    multiple of the minibatch-stddev group size — groups then never straddle
+    the fake/real boundary, so the statistics are bit-identical to the
+    reference's two separate forwards."""
     avgs = []
     arb, _dl, batch_avg = G.apply(g_params, arb_latents, arb_labels,
                                   rng=rng, is_training=True,
                                   return_dlatents=True)
     avgs.append(batch_avg)
-    arb_scores, _ = D.apply(d_params, arb, arb_labels)
-    real_scores, _ = D.apply(d_params, reals, labels)
+    n_fake = arb.shape[0]
+    if D.mbstd_group_size <= 1 or n_fake % D.mbstd_group_size == 0:
+        scores, _ = D.apply(d_params, jnp.concatenate([arb, reals]),
+                            jnp.concatenate([arb_labels, labels]))
+        arb_scores, real_scores = scores[:n_fake], scores[n_fake:]
+    else:
+        arb_scores, _ = D.apply(d_params, arb, arb_labels)
+        real_scores, _ = D.apply(d_params, reals, labels)
     loss = jax.nn.softplus(arb_scores) + jax.nn.softplus(-real_scores)
     scalars = {"Loss/loss_D": jnp.mean(loss),
                "Loss/scores_real": jnp.mean(real_scores),
