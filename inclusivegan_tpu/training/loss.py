@@ -71,7 +71,7 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 latents_rec_2, reals_rec_2, labels_rec_2,
                 arb_latents, arb_labels,
                 NN_rec_lpips_weight: float = 2.5,
-                lpips_dtype=jnp.float32) -> GLossOut:
+                lpips_dtype=jnp.float32, batched: bool = True) -> GLossOut:
     """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS.
 
     TPU batching: the four logical G forwards (rec1, rec2, interp, arb — the
@@ -86,6 +86,43 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
     t = random.uniform(k_t, (n, 1))
     interp_latents = slerp(latents_rec_2, latents_rec_1, t)
     interp_labels = lerp(labels_rec_2, labels_rec_1, t) if labels_rec_1.size else labels_rec_1
+
+    if not batched:
+        # reference-structured variant: four separate G forwards + six
+        # separate LPIPS evaluations (kept for A/B perf comparison)
+        avgs = []
+
+        def g_forward(z, labels, key):
+            img, _dl, batch_avg = G.apply(g_params, z, labels, rng=key,
+                                          is_training=True,
+                                          return_dlatents=True)
+            avgs.append(batch_avg)
+            return img
+
+        rec1 = g_forward(latents_rec_1, labels_rec_1, k1)
+        rec2 = g_forward(latents_rec_2, labels_rec_2, k2)
+        interp = g_forward(interp_latents, interp_labels, k3)
+        arb = g_forward(arb_latents, arb_labels, k4)
+        loss_rec = 0.5 * (
+            lpips_distance(lpips_params, _to_255(rec1), _to_255(reals_rec_1),
+                           dtype=lpips_dtype) +
+            lpips_distance(lpips_params, _to_255(rec2), _to_255(reals_rec_2),
+                           dtype=lpips_dtype)) * NN_rec_lpips_weight
+        d2 = lpips_distance(lpips_params, _to_255(interp),
+                            _to_255(reals_rec_2), dtype=lpips_dtype)
+        d1 = lpips_distance(lpips_params, _to_255(interp),
+                            _to_255(reals_rec_1), dtype=lpips_dtype)
+        loss_interp = lerp(d2, d1, jnp.squeeze(t, axis=1)) * (
+            NN_rec_lpips_weight * 0.4)
+        arb_scores, _ = D.apply(d_params, arb, arb_labels)
+        loss_arb = jax.nn.softplus(-arb_scores)
+        loss = loss_rec + loss_interp + loss_arb
+        scalars = {
+            "Loss/loss_NN_rec_lpips": jnp.mean(loss_rec),
+            "Loss/loss_NN_interp_lpips": jnp.mean(loss_interp),
+            "Loss/loss_G_arb": jnp.mean(loss_arb),
+        }
+        return GLossOut(loss, scalars, tuple(avgs))
 
     groups = [
         (latents_rec_1, labels_rec_1, k1),

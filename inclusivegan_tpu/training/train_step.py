@@ -53,6 +53,7 @@ class TrainConfig(NamedTuple):
     drange_data: Tuple[float, float] = (0.0, 255.0)
     lazy_regularization: bool = True
     lpips_dtype: Any = None  # None → float32; jnp.bfloat16 for MXU-rate VGG
+    g_loss_batched: bool = True  # one synthesis/VGG call for the G phase
 
 
 def _process_reals(x, rng, mirror_augment: bool, drange_data):
@@ -120,7 +121,8 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                 reals_rec_2=reals_rec_2, labels_rec_2=batch["labels_rec_2"],
                 arb_latents=arb_latents, arb_labels=arb_labels,
                 NN_rec_lpips_weight=cfg.NN_rec_lpips_weight,
-                lpips_dtype=cfg.lpips_dtype or jnp.float32)
+                lpips_dtype=cfg.lpips_dtype or jnp.float32,
+                batched=cfg.g_loss_batched)
             return jnp.mean(out.loss), out
 
         (g_loss, out), grads = jax.value_and_grad(
