@@ -151,12 +151,19 @@ class IMLEOrchestrator:
 
     # ------------------------------------------------------------------
     def rebuild(self, generate_images: Callable[[np.ndarray], np.ndarray],
-                rec_dataset, verbose: bool = True) -> None:
+                rec_dataset, verbose: bool = True,
+                generate_features: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                ) -> None:
         """Regenerate candidate features with the current G, rebuild the DCI
         index, and retrieve the 1-NN latent for every real image.
 
         generate_images: latents [B,Z] → images [B,C,H,W] in drange_net
         (jitted G.apply batches on the TPU).
+        generate_features (preferred): latents [B,Z] → features
+        [B, proj_dim] with the flatten+projector matmul fused into the
+        jitted G batch — only proj_dim floats per candidate cross the
+        device→host link instead of a full image (the link is the scarce
+        resource on relay-attached TPUs; see BENCH_NOTES.md).
         """
         if self.selected_latents is not None:
             self.staleness *= 2  # doubling (reference :354-356)
@@ -167,8 +174,12 @@ class IMLEOrchestrator:
         for i in range(0, n, bs):
             if verbose and (i // bs) % 16 == 0:
                 print(f"\rCandidates sampling {i}/{n}...", end="", flush=True)
-            imgs = generate_images(self.latent_candidates[i:i + bs])
-            feats[i:i + bs] = self._features_from_images(np.asarray(imgs))
+            z = self.latent_candidates[i:i + bs]
+            if generate_features is not None:
+                feats[i:i + bs] = np.asarray(generate_features(z)).astype(np.float64)
+            else:
+                imgs = generate_images(z)
+                feats[i:i + bs] = self._features_from_images(np.asarray(imgs))
         if verbose:
             print("\rDCI constructing...                    ")
 

@@ -71,16 +71,16 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 latents_rec_2, reals_rec_2, labels_rec_2,
                 arb_latents, arb_labels,
                 NN_rec_lpips_weight: float = 2.5,
-                lpips_dtype=jnp.float32, batched: bool = True) -> GLossOut:
+                lpips_dtype=jnp.float32, batched: bool = False) -> GLossOut:
     """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS.
 
-    TPU batching: the four logical G forwards (rec1, rec2, interp, arb — the
-    reference runs them as separate graph invocations, loss.py:25-48) keep
-    independent mapping/mixing draws but share ONE synthesis call of 4n
-    images, and all five image stacks needing LPIPS features (three
-    generated + two real) go through ONE VGG call of 5n — per-sample
-    semantics are unchanged (no cross-batch ops in G or VGG) while MXU
-    utilization at the reference's small minibatch roughly doubles."""
+    batched=True fuses the four logical G forwards (rec1, rec2, interp,
+    arb — separate graph invocations in the reference, loss.py:25-48) into
+    ONE synthesis call of 4n images with independent per-group mixing draws,
+    and all five LPIPS image stacks into ONE VGG call of 5n. Per-sample
+    semantics are unchanged; measured runtime-equal to the unbatched form on
+    v5e but slower to compile (BENCH_NOTES.md), so the reference-structured
+    form is the default."""
     n = latents_rec_1.shape[0]
     rng, k_t, k1, k2, k3, k4, k_noise = random.split(rng, 7)
     t = random.uniform(k_t, (n, 1))

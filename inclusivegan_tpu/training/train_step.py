@@ -53,7 +53,11 @@ class TrainConfig(NamedTuple):
     drange_data: Tuple[float, float] = (0.0, 255.0)
     lazy_regularization: bool = True
     lpips_dtype: Any = None  # None → float32; jnp.bfloat16 for MXU-rate VGG
-    g_loss_batched: bool = True  # one synthesis/VGG call for the G phase
+    # One synthesis + one VGG call for the whole G phase instead of the
+    # reference's 4+6 separate forwards. Measured runtime-equal on v5e
+    # (XLA pipelines the small forwards; BENCH_NOTES.md A/B) but the fused
+    # graph compiles ~40% slower — default off.
+    g_loss_batched: bool = False
 
 
 def _process_reals(x, rng, mirror_augment: bool, drange_data):

@@ -228,17 +228,38 @@ def training_loop(
                        jnp.zeros((latents.shape[0], G.mapping.label_size)),
                        rng=rng, truncation_psi=None)
 
+    # candidate features with the flatten(+projector) fused on device: only
+    # proj_dim floats per candidate cross the device→host link
+    projector_dev = (jnp.asarray(imle.projector, jnp.float32)
+                     if imle.projector is not None else None)
+
+    @jax.jit
+    def g_sample_features(params, latents, rng):
+        img = G.apply(params, latents,
+                      jnp.zeros((latents.shape[0], G.mapping.label_size)),
+                      rng=rng, truncation_psi=None)
+        flat = img.astype(jnp.float32).reshape(img.shape[0], -1)
+        if projector_dev is None:
+            return flat
+        return jnp.dot(flat, projector_dev, preferred_element_type=jnp.float32)
+
     _sample_key = [jax.random.key(seed + 7)]
 
-    def generate_images(latents_np):
+    def _batched(fn, latents_np):
         n = latents_np.shape[0]
         bs = candidate_batch_size
         if n < bs:  # pad to the jitted shape
             pad = np.zeros((bs - n, latents_np.shape[1]), latents_np.dtype)
             latents_np = np.concatenate([latents_np, pad])
         _sample_key[0], k = jax.random.split(_sample_key[0])
-        out = g_sample(state.g_params, jnp.asarray(latents_np), k)
+        out = fn(state.g_params, jnp.asarray(latents_np), k)
         return np.asarray(out[:n])
+
+    def generate_images(latents_np):
+        return _batched(g_sample, latents_np)
+
+    def generate_features(latents_np):
+        return _batched(g_sample_features, latents_np)
 
     import functools
 
@@ -289,7 +310,8 @@ def training_loop(
 
             if imle.needs_rebuild(cur_nimg, mb * 2):
                 t0 = time.time()
-                imle.rebuild(generate_images, training_set_rec)
+                imle.rebuild(generate_images, training_set_rec,
+                             generate_features=generate_features)
                 stats.report("Timing/dci_rebuild_sec", time.time() - t0)
 
             r1, l1, z1, r2, l2, z2 = imle.next_rec_batch(training_set_rec, mb)
