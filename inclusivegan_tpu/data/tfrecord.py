@@ -42,6 +42,21 @@ def _crc_table():
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
+    # native path (slice-by-8 C++, ~GB/s) when the datakit library builds
+    from . import datakit
+    native = datakit.crc32c(data, crc)
+    if native is not None:
+        return native
+    table = _crc_table()
+    crc = crc ^ 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
+    """Pure-python CRC32C (fallback + correctness oracle for the native
+    kernel)."""
     table = _crc_table()
     crc = crc ^ 0xFFFFFFFF
     for b in data:
