@@ -20,6 +20,13 @@ TPU-native design:
     host→HBM traffic than feeding floats.
   * Per-device RNG: the step key is folded with the device's mesh index, so
     each shard draws independent latents/noise like the per-GPU random ops.
+
+Gradient accumulation (the reference Optimizer's minibatch_multiplier
+machinery, optimizer.py:208-234) is intentionally not implemented: the
+reference's own training loop asserts a single accumulation round
+(training_loop.py:467 ``assert len(rounds) == 1``) so the code path is dead
+there; on TPU the same effect is a larger per-device batch or more chips on
+the data mesh.
 """
 
 import functools
