@@ -101,7 +101,8 @@ def test_metrics_machinery_on_snapshot(trained_run, toy_dataset):
     res = metric_base.run_metric(
         EasyDict(name="fid_small",
                  func_name="inclusivegan_tpu.metrics.frechet_inception_distance.FID",
-                 num_images=32, minibatch_per_gpu=16),
+                 num_images=32, minibatch_per_gpu=16,
+                 feature_net="vgg16"),  # inception path covered by test_inception
         network_pkl=snapshot, dataset_args=dataset_args,
         data_dir=os.path.dirname(toy_dataset), run_dir=run_dir)
     assert np.isfinite(res["fid_small"])
