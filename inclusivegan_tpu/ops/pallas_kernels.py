@@ -106,17 +106,17 @@ bias_act_lrelu_pallas.defvjp(_fwd, _bwd)
 
 def _fir_kernel(x_ref, y_ref, *, taps: Tuple[Tuple[float, ...], ...],
                 down: int, oh: int, ow: int):
-    """Shift-and-sum FIR over one padded image block, then strided downsample.
+    """Shift-and-sum FIR over one padded image block, then downsample.
 
-    x_ref: (1, Hp, Wp) padded/dilated input; taps already flipped for
-    convolution and scaled by gain. Unrolled at trace time (kernels are ≤4×4
-    in every reference call site: resample_kernel=[1,3,3,1],
-    networks_stylegan2.py:339)."""
+    x_ref: (1, Hp, Wp) padded/dilated input with Hp ≥ oh·down + kh - 1;
+    taps already flipped for convolution and scaled by gain. Unrolled at
+    trace time (kernels are ≤4×4 in every reference call site:
+    resample_kernel=[1,3,3,1], networks_stylegan2.py:339). The downsample is
+    a reshape + static index — Mosaic has no lowering for strided slices."""
     xp = x_ref[0]
     kh = len(taps)
     kw = len(taps[0])
-    # full-rate FIR extent needed to cover samples 0, down, ..., (oh-1)*down
-    fh, fw = (oh - 1) * down + 1, (ow - 1) * down + 1
+    fh, fw = oh * down, ow * down  # full-rate extent (host pads to cover it)
     acc = None
     for i in range(kh):
         for j in range(kw):
@@ -128,7 +128,18 @@ def _fir_kernel(x_ref, y_ref, *, taps: Tuple[Tuple[float, ...], ...],
     if acc is None:
         acc = jnp.zeros((fh, fw), xp.dtype)
     if down > 1:
-        acc = acc[::down, ::down]
+        # Decimation as two 0/1 selection matmuls (MXU-native; Mosaic has no
+        # strided slice or rank-changing reshape lowering):
+        #   y = R @ acc @ C,  R[o, i] = [i == o*down],  C[j, o] = [j == o*down]
+        r_sel = (jax.lax.broadcasted_iota(jnp.int32, (oh, fh), 1) ==
+                 jax.lax.broadcasted_iota(jnp.int32, (oh, fh), 0) * down
+                 ).astype(jnp.float32)
+        c_sel = (jax.lax.broadcasted_iota(jnp.int32, (fw, ow), 0) ==
+                 jax.lax.broadcasted_iota(jnp.int32, (fw, ow), 1) * down
+                 ).astype(jnp.float32)
+        acc = jnp.dot(r_sel, jnp.dot(acc.astype(jnp.float32), c_sel,
+                                     preferred_element_type=jnp.float32),
+                      preferred_element_type=jnp.float32).astype(xp.dtype)
     y_ref[0] = acc
 
 
@@ -141,14 +152,20 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
     n, c, h, w = x.shape
     f = jnp.asarray(f, jnp.float32)
     kh, kw = f.shape
-    xp = lax.pad(x, jnp.zeros((), x.dtype), [
-        (0, 0, 0), (0, 0, 0),
-        (pady0, pady1 + (up - 1), up - 1),
-        (padx0, padx1 + (up - 1), up - 1),
-    ])
-    hp, wp = xp.shape[2], xp.shape[3]
     oh = (h * up + pady0 + pady1 - kh) // down + 1
     ow = (w * up + padx0 + padx1 - kw) // down + 1
+    # pad so the kernel's full-rate extent oh·down + kh - 1 is covered
+    # (the trailing extra zeros contribute only to dropped samples)
+    base_h = h * up + pady0 + pady1
+    base_w = w * up + padx0 + padx1
+    extra_h = max(oh * down + kh - 1 - base_h, 0)
+    extra_w = max(ow * down + kw - 1 - base_w, 0)
+    xp = lax.pad(x, jnp.zeros((), x.dtype), [
+        (0, 0, 0), (0, 0, 0),
+        (pady0, pady1 + (up - 1) + extra_h, up - 1),
+        (padx0, padx1 + (up - 1) + extra_w, up - 1),
+    ])
+    hp, wp = xp.shape[2], xp.shape[3]
     # flipped taps * gain, baked in as static python floats
     kf = np.asarray(f)[::-1, ::-1] * gain
     taps = tuple(tuple(float(v) for v in row) for row in kf)
