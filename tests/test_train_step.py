@@ -99,6 +99,26 @@ def test_two_steps_progress_and_finite(setup):
     assert int(s.step) == 2
 
 
+def test_batched_g_loss_variant(setup):
+    """g_loss_batched=True (one synthesis + one VGG call, loss.py) produces
+    finite losses and parameter movement like the reference-structured
+    default."""
+    from inclusivegan_tpu.models.lpips import init_lpips_params
+    G, D, mesh, state, _ = setup
+    cfg = TrainConfig(mirror_augment=False, g_loss_batched=True)
+    step = make_train_step(G, D, init_lpips_params(seed=7), mesh, cfg)
+    new_state, scalars = step(state, _batch(9), jax.random.key(9),
+                              jnp.float32(0.002), jnp.float32(0.002),
+                              jnp.float32(0.99),
+                              do_g_reg=False, do_d_reg=False)
+    for name in ("Loss/G_total", "Loss/loss_NN_rec_lpips",
+                 "Loss/loss_NN_interp_lpips", "Loss/loss_G_arb"):
+        assert np.isfinite(float(scalars[name])), name
+    old_w = state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+    new_w = new_state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+    assert float(jnp.abs(new_w - old_w).max()) > 0
+
+
 def test_adam_nan_skip():
     from inclusivegan_tpu.training.optimizer import adam_apply, init_adam
     params = {"w": jnp.ones((4,))}
