@@ -117,6 +117,26 @@ def main():
 
     imgs_per_sec = max(windows)
     per_chip = imgs_per_sec / n_dev
+
+    # secondary: eval-mode generator inference rate (BASELINE.json config
+    # "CelebA-128 generator inference via run_generator.py")
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def sample(params, z, k):
+        return G.apply(params, z, jnp.zeros((z.shape[0], 0)), rng=k,
+                       truncation_psi=0.6)
+
+    z = jnp.asarray(r.randn(64, zdim), jnp.float32)
+    k = jax.random.key(2)
+    img = sample(state.gs_params, z, k)
+    _ = float(img[0, 0, 0, 0])
+    t0 = time.time()
+    for i in range(8):
+        k, k2 = jax.random.split(k)
+        img = sample(state.gs_params, z, k2)
+    _ = float(img[0, 0, 0, 0])
+    infer_imgs_per_sec = 8 * 64 / (time.time() - t0)
     result = {
         "metric": "celeba128_train_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -128,6 +148,7 @@ def main():
             "minibatch_per_chip": mb_per_chip,
             "sec_per_kimg": round(1000.0 / imgs_per_sec, 2),
             "window_imgs_per_sec": [round(w, 1) for w in windows],
+            "inference_imgs_per_sec_per_chip": round(infer_imgs_per_sec / n_dev, 1),
             "warmup_sec": round(compile_time, 1),
             "G_total": round(float(scalars["Loss/G_total"]), 4),
             "D_total": round(float(scalars["Loss/D_total"]), 4),
