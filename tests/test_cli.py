@@ -1,0 +1,76 @@
+"""CLI argument assembly tests (no training): config-table semantics,
+run-desc encoding, vestigial-preset rejection — per the reference
+run_training.py behaviors."""
+
+import sys
+
+import pytest
+
+import run_training
+
+
+def test_vestigial_configs_rejected(tmp_path):
+    with pytest.raises(SystemExit) as e:
+        run_training.run(
+            dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+            config_id="config-a", num_devices=1, gamma=None,
+            mirror_augment=False, metrics=[], resume_pkl=None,
+            minibatch_gpu=4, data_size=64, num_epochs=1, init_proj_dim=None,
+            init_staleness=10, num_samples_factor=2, knn_perturb_factor=0.05,
+            candidate_batch_size=16, exclusive_retrieved_code=0,
+            NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+            attr_interesting=None, init_mul=1.0)
+    assert "vestigial" in str(e.value)
+
+
+def test_config_table_and_desc(monkeypatch, tmp_path):
+    captured = {}
+
+    def fake_submit(sc, fn, **kwargs):
+        captured["sc"] = sc
+        captured["fn"] = fn
+        captured["kwargs"] = kwargs
+        return None
+
+    monkeypatch.setattr(run_training, "submit_run", fake_submit)
+    run_training.run(
+        dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+        config_id="config-e-Gresnet-Dskip", num_devices=2, gamma=None,
+        mirror_augment=True, metrics=[], resume_pkl=None,
+        minibatch_gpu=6, data_size=3000, num_epochs=100, init_proj_dim=512,
+        init_staleness=10, num_samples_factor=10, knn_perturb_factor=0.05,
+        candidate_batch_size=256, exclusive_retrieved_code=0,
+        NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+        attr_interesting="Male,Young", init_mul=1.0)
+    kw = captured["kwargs"]
+    # config-e: gamma 100, fmaps shrunk, arch overrides applied
+    assert kw["D_loss_args"]["gamma"] == 100
+    assert kw["G_args"]["fmap_base"] == 8 << 10
+    assert kw["G_args"]["architecture"] == "resnet"
+    assert kw["D_args"]["architecture"] == "skip"
+    assert kw["total_kimg"] == 3000 * 100 // 1000
+    assert kw["mirror_augment"] is True
+    assert kw["attr_interesting"] == "Male,Young"
+    sc = captured["sc"]
+    # run-desc knob encoding (reference run_training.py:84-113)
+    assert "stylegan2-toy-2dev-config-e-Gresnet-Dskip" in sc.run_desc
+    assert "_512Proj" in sc.run_desc
+    assert "Male_and_Young" in sc.run_desc
+    assert sc.run_desc.endswith("_scratch")
+
+
+def test_config_f_keeps_big_fmaps(monkeypatch, tmp_path):
+    captured = {}
+    monkeypatch.setattr(run_training, "submit_run",
+                        lambda sc, fn, **kw: captured.update(kw))
+    run_training.run(
+        dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+        config_id="config-f", num_devices=1, gamma=12.5,
+        mirror_augment=False, metrics=[], resume_pkl=None,
+        minibatch_gpu=4, data_size=64, num_epochs=1, init_proj_dim=None,
+        init_staleness=10, num_samples_factor=2, knn_perturb_factor=0.05,
+        candidate_batch_size=16, exclusive_retrieved_code=0,
+        NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+        attr_interesting=None, init_mul=1.0)
+    assert "fmap_base" not in captured["G_args"]  # config-f default 16<<10
+    assert captured["D_loss_args"]["gamma"] == 12.5  # --gamma override
