@@ -64,6 +64,20 @@ def main():
     p.add_argument("--num_images", type=int, default=None)
     p.add_argument("--attr_file", type=str, default=None)
 
+    p = sub.add_parser("create_celebahq",
+                       help="Create CelebA-HQ from raw CelebA + deltas")
+    p.add_argument("tfrecord_dir")
+    p.add_argument("celeba_dir")
+    p.add_argument("delta_dir")
+    p.add_argument("--out_img_dir", type=str, default=None)
+    p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--num_tasks", type=int, default=100)
+    p.add_argument("--shuffle", type=int, default=1)
+    p.add_argument("--strict", type=int, default=1)
+    p.add_argument("--num_images", type=int, default=None)
+    p.add_argument("--expected_images", type=int, default=202599,
+                   help="corpus-size invariant; lower it for partial corpora")
+
     p = sub.add_parser("create_from_images", help="Create from image folder")
     p.add_argument("tfrecord_dir")
     p.add_argument("image_dir")
@@ -80,7 +94,7 @@ def main():
         sys.exit(1)
     kwargs = vars(args)
     cmd = kwargs.pop("command")
-    for key in ("shuffle", "ignore_labels"):
+    for key in ("shuffle", "ignore_labels", "strict"):
         if key in kwargs:
             kwargs[key] = bool(kwargs[key])
     getattr(dt, cmd)(**kwargs)

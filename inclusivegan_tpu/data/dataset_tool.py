@@ -260,6 +260,191 @@ def create_celeba(tfrecord_dir: str, celeba_dir: str, cx: int = 89,
             tfr.add_labels(np.stack(labels))
 
 
+def create_celebahq(tfrecord_dir: str, celeba_dir: str, delta_dir: str,
+                    out_img_dir: Optional[str] = None, num_threads: int = 4,
+                    num_tasks: int = 100, shuffle: bool = True,
+                    strict: bool = True, num_images: Optional[int] = None,
+                    expected_images: int = 202599):
+    """CelebA-HQ 1024×1024 reconstruction from raw CelebA + encrypted deltas
+    (reference dataset_tool.py:490-625).
+
+    Pipeline per image: landmark-oriented crop/zoom/pad of the in-the-wild
+    jpg (eye/mouth geometry), QUAD-transform to 4096², LANCZOS resize to
+    1024², then add the bz2-compressed delta decrypted with
+    PBKDF2(orig jpg bytes) + Fernet — the deltas are keyed on the original
+    CelebA files so only licensed holders can reconstruct.
+
+    ``strict=True`` verifies the per-image proc/final MD5s from
+    ``image_list.txt``; bit-exactness additionally requires the historical
+    Pillow 3.1.1 / libjpeg 8d resampling (the reference hard-errors on any
+    other version, :521-530). With modern Pillow pass ``strict=False``:
+    geometry and deltas still apply but checksums are reported, not enforced.
+
+    Like the reference (:632, add_image commented out there), pngs go to
+    ``out_img_dir`` when given; unlike it we also write the TFRecord pyramid
+    so the output is directly trainable.
+    """
+    import base64
+    import bz2
+    import hashlib
+    import zipfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import scipy.ndimage
+    from PIL import Image
+
+    jpgs = glob.glob(os.path.join(celeba_dir, "img_celeba", "*.jpg"))
+    assert len(jpgs) == expected_images, \
+        f"expected {expected_images} img_celeba jpgs, found {len(jpgs)}"
+    with open(os.path.join(celeba_dir, "Anno",
+                           "list_landmarks_celeba.txt")) as f:
+        landmarks = [[float(v) for v in line.split()[1:]]
+                     for line in f.read().splitlines()[2:] if line.strip()]
+    landmarks = np.float32(landmarks).reshape(-1, 5, 2)
+
+    zips = glob.glob(os.path.join(delta_dir, "delta*.zip"))
+    if expected_images == 202599:  # full-set invariant (reference :509-511)
+        assert len(zips) == 30, f"expected 30 delta zips, found {len(zips)}"
+    with open(os.path.join(delta_dir, "image_list.txt")) as f:
+        lines = [line.split() for line in f if line.strip()]
+    fields = {}
+    for col, name in enumerate(lines[0]):
+        conv = int if name.endswith("idx") else str
+        fields[name] = [conv(row[col]) for row in lines[1:]]
+    indices = np.array(fields["idx"])
+    if num_images is not None:
+        indices = indices[:num_images]
+
+    def rot90(v):
+        return np.array([-v[1], v[0]])
+
+    def process(idx: int) -> np.ndarray:
+        orig_idx = fields["orig_idx"][idx]
+        orig_file = fields["orig_file"][idx]
+        orig_path = os.path.join(celeba_dir, "img_celeba", orig_file)
+        img = Image.open(orig_path)
+
+        # Oriented crop rectangle from the 5 facial landmarks.
+        lm = landmarks[orig_idx]
+        eye_avg = (lm[0] + lm[1]) * 0.5 + 0.5
+        mouth_avg = (lm[3] + lm[4]) * 0.5 + 0.5
+        eye_to_eye = lm[1] - lm[0]
+        eye_to_mouth = mouth_avg - eye_avg
+        x = eye_to_eye - rot90(eye_to_mouth)
+        x /= np.hypot(*x)
+        x *= max(np.hypot(*eye_to_eye) * 2.0, np.hypot(*eye_to_mouth) * 1.8)
+        y = rot90(x)
+        c = eye_avg + eye_to_mouth * 0.1
+        quad = np.stack([c - x - y, c - x + y, c + x + y, c + x - y])
+        zoom = 1024 / (np.hypot(*x) * 2)
+
+        shrink = int(np.floor(0.5 / zoom))
+        if shrink > 1:
+            size = (int(np.round(img.size[0] / shrink)),
+                    int(np.round(img.size[1] / shrink)))
+            img = img.resize(size, Image.LANCZOS)
+            quad /= shrink
+            zoom *= shrink
+
+        border = max(int(np.round(1024 * 0.1 / zoom)), 3)
+        crop = (int(np.floor(quad[:, 0].min())), int(np.floor(quad[:, 1].min())),
+                int(np.ceil(quad[:, 0].max())), int(np.ceil(quad[:, 1].max())))
+        crop = (max(crop[0] - border, 0), max(crop[1] - border, 0),
+                min(crop[2] + border, img.size[0]),
+                min(crop[3] + border, img.size[1]))
+        if crop[2] - crop[0] < img.size[0] or crop[3] - crop[1] < img.size[1]:
+            img = img.crop(crop)
+            quad -= crop[0:2]
+
+        superres = int(np.exp2(np.ceil(np.log2(zoom))))
+        if superres > 1:
+            img = img.resize((img.size[0] * superres, img.size[1] * superres),
+                             Image.LANCZOS)
+            quad *= superres
+            zoom /= superres
+
+        pad = (int(np.floor(quad[:, 0].min())), int(np.floor(quad[:, 1].min())),
+               int(np.ceil(quad[:, 0].max())), int(np.ceil(quad[:, 1].max())))
+        pad = (max(-pad[0] + border, 0), max(-pad[1] + border, 0),
+               max(pad[2] - img.size[0] + border, 0),
+               max(pad[3] - img.size[1] + border, 0))
+        if max(pad) > border - 4:
+            pad = np.maximum(pad, int(np.round(1024 * 0.3 / zoom)))
+            arr = np.pad(np.float32(img),
+                         ((pad[1], pad[3]), (pad[0], pad[2]), (0, 0)),
+                         "reflect")
+            h, w, _ = arr.shape
+            yy, xx, _ = np.mgrid[:h, :w, :1]
+            mask = 1.0 - np.minimum(
+                np.minimum(np.float32(xx) / pad[0], np.float32(yy) / pad[1]),
+                np.minimum(np.float32(w - 1 - xx) / pad[2],
+                           np.float32(h - 1 - yy) / pad[3]))
+            blur = 1024 * 0.02 / zoom
+            arr += (scipy.ndimage.gaussian_filter(arr, [blur, blur, 0]) - arr) \
+                * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
+            arr += (np.median(arr, axis=(0, 1)) - arr) * np.clip(mask, 0.0, 1.0)
+            img = Image.fromarray(
+                np.uint8(np.clip(np.round(arr), 0, 255)), "RGB")
+            quad += pad[0:2]
+
+        img = img.transform((4096, 4096), Image.QUAD,
+                            (quad + 0.5).flatten(), Image.BILINEAR)
+        img = img.resize((1024, 1024), Image.LANCZOS)
+        img = np.asarray(img).transpose(2, 0, 1)
+
+        proc_md5 = hashlib.md5(img.tobytes()).hexdigest()
+        if strict and proc_md5 != fields["proc_md5"][idx]:
+            raise RuntimeError(
+                f"proc md5 mismatch for idx {idx} ({proc_md5}): bit-exact "
+                "reconstruction needs Pillow 3.1.1 + libjpeg 8d "
+                "(reference dataset_tool.py:521-530); rerun with strict=False "
+                "to accept modern resampling")
+
+        # Decrypt + apply the delta (keyed on the original jpg bytes).
+        import cryptography.fernet
+        import cryptography.hazmat.backends
+        import cryptography.hazmat.primitives.hashes
+        import cryptography.hazmat.primitives.kdf.pbkdf2
+        with zipfile.ZipFile(os.path.join(
+                delta_dir, "deltas%05d.zip" % (idx - idx % 1000)), "r") as zf:
+            delta_bytes = zf.read("delta%05d.dat" % idx)
+        with open(orig_path, "rb") as f:
+            orig_bytes = f.read()
+        kdf = cryptography.hazmat.primitives.kdf.pbkdf2.PBKDF2HMAC(
+            algorithm=cryptography.hazmat.primitives.hashes.SHA256(),
+            length=32, salt=orig_file.encode(), iterations=100000,
+            backend=cryptography.hazmat.backends.default_backend())
+        key = base64.urlsafe_b64encode(kdf.derive(orig_bytes))
+        delta = np.frombuffer(
+            bz2.decompress(
+                cryptography.fernet.Fernet(key).decrypt(delta_bytes)),
+            dtype=np.uint8).reshape(3, 1024, 1024)
+        img = img + delta  # uint8 wraparound, as in the reference
+
+        final_md5 = hashlib.md5(img.tobytes()).hexdigest()
+        if strict and final_md5 != fields["final_md5"][idx]:
+            raise RuntimeError(f"final md5 mismatch for idx {idx}")
+        return img
+
+    order = (np.random.RandomState(123).permutation(indices.size)
+             if shuffle else np.arange(indices.size))
+    if out_img_dir is not None:
+        os.makedirs(out_img_dir, exist_ok=True)
+    with TFRecordExporter(tfrecord_dir, indices.size) as tfr:
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            todo = indices[order].tolist()
+            for start in range(0, len(todo), num_tasks):
+                chunk = todo[start:start + num_tasks]
+                # futures re-raise worker exceptions here (the reference's
+                # exception-forwarding ThreadPool, dataset_tool.py:102-149)
+                for img in pool.map(process, chunk):
+                    if out_img_dir is not None:
+                        Image.fromarray(
+                            img.transpose(1, 2, 0), "RGB").save(os.path.join(
+                                out_img_dir, "%06d.png" % tfr.cur_images))
+                    tfr.add_image(img)
+
+
 def load_celeba_attributes(attr_file: str):
     """Parse list_attr_celeba.txt → (attr_names, {filename: 0/1 vector})
     (used for minority-inclusion filtering, training_loop.py:175-180,416-427)."""

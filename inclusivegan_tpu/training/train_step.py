@@ -22,11 +22,16 @@ TPU-native design:
     each shard draws independent latents/noise like the per-GPU random ops.
 
 Gradient accumulation (the reference Optimizer's minibatch_multiplier
-machinery, optimizer.py:208-234) is intentionally not implemented: the
-reference's own training loop asserts a single accumulation round
-(training_loop.py:467 ``assert len(rounds) == 1``) so the code path is dead
-there; on TPU the same effect is a larger per-device batch or more chips on
-the data mesh.
+machinery, optimizer.py:208-234; rounds = minibatch_size //
+(minibatch_gpu*num_gpus), training_loop.py:221,337,349) is
+``TrainConfig.grad_accum_rounds``: each phase splits its per-device batch
+into `rounds` microbatches and accumulates gradients with a ``lax.scan``
+before the single Adam update — the TPU-native replacement for the
+reference's accumulation variables + counter (SURVEY.md §2.3). The
+reference's own loop only ever runs the fast path (training_loop.py:467
+``assert len(rounds) == 1``); here rounds>1 is live and tested, though on
+TPU a larger per-device batch or more chips on the data mesh is usually the
+better lever.
 """
 
 import functools
@@ -65,6 +70,45 @@ class TrainConfig(NamedTuple):
     # (XLA pipelines the small forwards; BENCH_NOTES.md A/B) but the fused
     # graph compiles ~40% slower — default off.
     g_loss_batched: bool = False
+    # Microbatch gradient-accumulation rounds per phase (reference
+    # minibatch_multiplier, optimizer.py:208-234): each phase scans over
+    # `rounds` microbatches of size per_device_batch/rounds, sums grads,
+    # applies Adam once. 1 = fast path (reference training_loop.py:467).
+    grad_accum_rounds: int = 1
+
+
+def _microbatch(tree, rounds: int):
+    """[n, ...] leaves → [rounds, n//rounds, ...] for lax.scan microbatching."""
+    def split(x):
+        n = x.shape[0]
+        assert n % rounds == 0, (n, rounds)
+        return x.reshape((rounds, n // rounds) + x.shape[1:])
+    return jax.tree_util.tree_map(split, tree)
+
+
+def _accum_scan(round_fn, params0, keys, micro):
+    """Accumulate grads over microbatches (reference accumulation vars +
+    counter, optimizer.py:208-234, as one lax.scan).
+
+    round_fn(key, microbatch) -> (aux, grads). Returns (mean_grads, aux_stack)
+    where aux_stack leaves have a leading `rounds` axis.
+    """
+    rounds = keys.shape[0]
+
+    def body(acc, xs):
+        key, mb = xs
+        aux, g = round_fn(key, mb)
+        acc = jax.tree_util.tree_map(
+            lambda a, b: a + b.astype(jnp.float32), acc, g)
+        return acc, aux
+
+    # grads are device-varying (per-device data) — the zero init must be too
+    zeros = jax.tree_util.tree_map(
+        lambda p: lax.pcast(jnp.zeros(p.shape, jnp.float32), ("data",),
+                            to="varying"), params0)
+    acc, aux_stack = lax.scan(body, zeros, (keys, micro))
+    grads = jax.tree_util.tree_map(lambda g: g / rounds, acc)
+    return grads, aux_stack
 
 
 def _process_reals(x, rng, mirror_augment: bool, drange_data):
@@ -120,62 +164,116 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                                      cfg.mirror_augment, cfg.drange_data)
         arb_latents = random.normal(k_arb, (local_mb, latent_size))
         arb_labels = jnp.zeros((local_mb, label_size), jnp.float32)
+        trainables0 = g_trainables(state.g_params)
+        data = dict(
+            latents_rec_1=batch["latents_rec_1"], reals_rec_1=reals_rec_1,
+            labels_rec_1=batch["labels_rec_1"],
+            latents_rec_2=batch["latents_rec_2"], reals_rec_2=reals_rec_2,
+            labels_rec_2=batch["labels_rec_2"],
+            arb_latents=arb_latents, arb_labels=arb_labels)
 
-        def loss_fn(trainables):
-            g_params = merge_g(trainables, state.g_params)
-            out = g_main_loss(
-                g_params, state.d_params, G=G, D=D,
-                lpips_params=lpips_params, rng=k_g,
-                latents_rec_1=batch["latents_rec_1"],
-                reals_rec_1=reals_rec_1, labels_rec_1=batch["labels_rec_1"],
-                latents_rec_2=batch["latents_rec_2"],
-                reals_rec_2=reals_rec_2, labels_rec_2=batch["labels_rec_2"],
-                arb_latents=arb_latents, arb_labels=arb_labels,
-                NN_rec_lpips_weight=cfg.NN_rec_lpips_weight,
-                lpips_dtype=cfg.lpips_dtype or jnp.float32,
-                batched=cfg.g_loss_batched)
-            return jnp.mean(out.loss), out
+        def round_fn(key, d):
+            def loss_fn(trainables):
+                g_params = merge_g(trainables, state.g_params)
+                out = g_main_loss(
+                    g_params, state.d_params, G=G, D=D,
+                    lpips_params=lpips_params, rng=key, **d,
+                    NN_rec_lpips_weight=cfg.NN_rec_lpips_weight,
+                    lpips_dtype=cfg.lpips_dtype or jnp.float32,
+                    batched=cfg.g_loss_batched)
+                return jnp.mean(out.loss), out
 
-        (g_loss, out), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(g_trainables(state.g_params))
+            (g_loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainables0)
+            return (g_loss, out.scalars, out.dlatent_batch_avgs), grads
+
+        rounds = cfg.grad_accum_rounds
+        if rounds == 1:
+            (g_loss, raw_scalars, avgs), grads = round_fn(k_g, data)
+            avgs = list(avgs)
+        else:
+            grads, (losses, scal, avg_stack) = _accum_scan(
+                round_fn, trainables0, random.split(k_g, rounds),
+                _microbatch(data, rounds))
+            g_loss = jnp.mean(losses)
+            raw_scalars = {k: jnp.mean(v) for k, v in scal.items()}
+            # fold dlatent EMA per round, in round order (the reference
+            # updates the EMA var once per round's forward)
+            avgs = [a[r] for r in range(rounds) for a in avg_stack]
+
         grads = _pmean_tree(grads)
         g_tr, g_opt, _ = adam_apply(
-            g_trainables(state.g_params), grads, state.g_opt,
+            trainables0, grads, state.g_opt,
             learning_rate=g_lrate * g_lr_mul, beta1=g_b1, beta2=g_b2,
             epsilon=cfg.adam_eps)
-        g_params = merge_g(g_tr, state.g_params)
-        avgs = [lax.pmean(a, "data") for a in out.dlatent_batch_avgs]
-        g_params = dict(g_params)
+        g_params = dict(merge_g(g_tr, state.g_params))
         g_params["dlatent_avg"] = fold_dlatent_avg(
-            g_params["dlatent_avg"], avgs, G.dlatent_avg_beta)
-        scalars = {k: lax.pmean(v, "data") for k, v in out.scalars.items()}
+            g_params["dlatent_avg"], [lax.pmean(a, "data") for a in avgs],
+            G.dlatent_avg_beta)
+        scalars = {k: lax.pmean(v, "data") for k, v in raw_scalars.items()}
         scalars["Loss/G_total"] = lax.pmean(g_loss, "data")
         return state._replace(g_params=g_params, g_opt=g_opt), scalars
 
     # ------------------------------------------------------------------
     def g_reg_phase_local(state: TrainState, rng, g_lrate, local_mb):
         rng = _device_rng(rng)
+        trainables0 = g_trainables(state.g_params)
+        rounds = cfg.grad_accum_rounds
+        mb_round = local_mb // max(rounds, 1)
 
-        def reg_fn(trainables):
-            gp = merge_g(trainables, state.g_params)
-            reg, new_pl, reg_scalars, ba = g_path_reg(
-                gp, G=G, rng=rng, pl_mean=state.pl_mean,
-                minibatch_size=local_mb, latent_size=latent_size,
-                label_size=label_size,
-                pl_minibatch_shrink=cfg.pl_minibatch_shrink,
-                pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight)
-            return jnp.mean(reg) * cfg.G_reg_interval, (new_pl, reg_scalars, ba)
+        def round_fn(key, pl_mean):
+            def reg_fn(trainables):
+                gp = merge_g(trainables, state.g_params)
+                reg, new_pl, reg_scalars, ba = g_path_reg(
+                    gp, G=G, rng=key, pl_mean=pl_mean,
+                    minibatch_size=mb_round, latent_size=latent_size,
+                    label_size=label_size,
+                    pl_minibatch_shrink=cfg.pl_minibatch_shrink,
+                    pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight)
+                return (jnp.mean(reg) * cfg.G_reg_interval,
+                        (new_pl, reg_scalars, ba))
 
-        (_, (new_pl, reg_scalars, ba)), grads = jax.value_and_grad(
-            reg_fn, has_aux=True)(g_trainables(state.g_params))
+            (_, aux), grads = jax.value_and_grad(
+                reg_fn, has_aux=True)(trainables0)
+            return aux, grads
+
+        if rounds == 1:
+            (new_pl, reg_scalars, ba), grads = round_fn(rng, state.pl_mean)
+            bas = [ba]
+        else:
+            # pl_mean EMA threads through the rounds sequentially, like the
+            # reference's per-round assign of the pl_mean var (loss.py:76-79)
+            keys = random.split(rng, rounds)
+
+            def body(carry, xs):
+                acc, pl = carry
+                key = xs
+                (new_pl, scal, ba), g = round_fn(key, pl)
+                acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), acc, g)
+                return (acc, new_pl), (scal, ba)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainables0)
+            # the carried pl_mean becomes device-varying inside the scan
+            # (per-device rng), so the replicated initial value must be cast
+            pl0 = lax.pcast(state.pl_mean, ("data",), to="varying")
+            zeros = jax.tree_util.tree_map(
+                lambda z: lax.pcast(z, ("data",), to="varying"), zeros)
+            (acc, new_pl), (scal_stack, ba_stack) = lax.scan(
+                body, (zeros, pl0), keys)
+            grads = jax.tree_util.tree_map(lambda g: g / rounds, acc)
+            reg_scalars = {k: jnp.mean(v) for k, v in scal_stack.items()}
+            bas = [ba_stack[r] for r in range(rounds)]
+
         grads = _pmean_tree(grads)
         g_tr, g_opt, _ = adam_apply(
-            g_trainables(state.g_params), grads, state.g_opt,
+            trainables0, grads, state.g_opt,
             learning_rate=g_lrate * g_lr_mul, beta1=g_b1, beta2=g_b2,
             epsilon=cfg.adam_eps)
         g_params = dict(merge_g(g_tr, state.g_params))
         g_params["dlatent_avg"] = fold_dlatent_avg(
-            g_params["dlatent_avg"], [lax.pmean(ba, "data")],
+            g_params["dlatent_avg"], [lax.pmean(b, "data") for b in bas],
             G.dlatent_avg_beta)
         scalars = {k: lax.pmean(v, "data") for k, v in reg_scalars.items()}
         return state._replace(g_params=g_params, g_opt=g_opt,
@@ -190,16 +288,30 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         n2 = reals.shape[0]
         arb_latents = random.normal(k_arb, (n2, latent_size))
         arb_labels = jnp.zeros((n2, label_size), jnp.float32)
+        data = dict(reals=reals, labels=batch["labels"],
+                    arb_latents=arb_latents, arb_labels=arb_labels)
 
-        def loss_fn(d_params):
-            loss, scalars, avgs = d_main_loss(
-                d_params, state.g_params, G=G, D=D, rng=k_d, reals=reals,
-                labels=batch["labels"], arb_latents=arb_latents,
-                arb_labels=arb_labels)
-            return jnp.mean(loss), (scalars, avgs)
+        def round_fn(key, d):
+            def loss_fn(d_params):
+                loss, scalars, avgs = d_main_loss(
+                    d_params, state.g_params, G=G, D=D, rng=key, **d)
+                return jnp.mean(loss), (scalars, avgs)
 
-        (d_loss, (d_scalars, avgs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.d_params)
+            (d_loss, (scalars, avgs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.d_params)
+            return (d_loss, scalars, avgs), grads
+
+        rounds = cfg.grad_accum_rounds
+        if rounds == 1:
+            (d_loss, d_scalars, avgs), grads = round_fn(k_d, data)
+            avgs = list(avgs)
+        else:
+            grads, (losses, scal, avg_stack) = _accum_scan(
+                round_fn, state.d_params, random.split(k_d, rounds),
+                _microbatch(data, rounds))
+            d_loss = jnp.mean(losses)
+            d_scalars = {k: jnp.mean(v) for k, v in scal.items()}
+            avgs = [a[r] for r in range(rounds) for a in avg_stack]
         grads = _pmean_tree(grads)
         d_params, d_opt, _ = adam_apply(
             state.d_params, grads, state.d_opt,
@@ -222,14 +334,27 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         rng = _device_rng(rng)
         reals = _process_reals(batch["reals"], rng, cfg.mirror_augment,
                                cfg.drange_data)
+        data = dict(reals=reals, labels=batch["labels"])
 
-        def reg_fn(d_params):
-            reg, scalars = d_r1_reg(d_params, D=D, reals=reals,
-                                    labels=batch["labels"], gamma=cfg.gamma)
-            return jnp.mean(reg) * cfg.D_reg_interval, scalars
+        def round_fn(key, d):
+            del key  # R1 draws no randomness
 
-        (_, reg_scalars), grads = jax.value_and_grad(
-            reg_fn, has_aux=True)(state.d_params)
+            def reg_fn(d_params):
+                reg, scalars = d_r1_reg(d_params, D=D, gamma=cfg.gamma, **d)
+                return jnp.mean(reg) * cfg.D_reg_interval, scalars
+
+            (_, scalars), grads = jax.value_and_grad(
+                reg_fn, has_aux=True)(state.d_params)
+            return scalars, grads
+
+        rounds = cfg.grad_accum_rounds
+        if rounds == 1:
+            reg_scalars, grads = round_fn(None, data)
+        else:
+            grads, scal = _accum_scan(
+                round_fn, state.d_params, random.split(rng, rounds),
+                _microbatch(data, rounds))
+            reg_scalars = {k: jnp.mean(v) for k, v in scal.items()}
         grads = _pmean_tree(grads)
         d_params, d_opt, _ = adam_apply(
             state.d_params, grads, state.d_opt,

@@ -268,7 +268,24 @@ def training_loop(
         return G.apply(params, latents, labels, rng=rng, truncation_psi=psi)
 
     # ------------------------------------------------------------ train step
+    # Gradient-accumulation rounds = minibatch_size / (minibatch_gpu ×
+    # num_devices) (reference training_loop.py:221,349). The resolution is
+    # fixed (no progressive growing in config-e/f) so this is static.
+    sched0 = training_schedule(cur_nimg=int(resume_kimg * 1000),
+                               resolution_log2=training_set.resolution_log2,
+                               **sched_args)
+    num_dev = mesh.devices.size
+    per_dev = sched0.minibatch_size // num_dev
+    grad_accum_rounds = max(per_dev // sched0.minibatch_gpu, 1)
+    if grad_accum_rounds > 1:
+        # reference training_loop.py:337
+        assert sched0.minibatch_size % (sched0.minibatch_gpu * num_dev) == 0, \
+            (sched0.minibatch_size, sched0.minibatch_gpu, num_dev)
+        print(f"gradient accumulation: {grad_accum_rounds} rounds of "
+              f"{sched0.minibatch_gpu}/device")
+
     cfg = TrainConfig(
+        grad_accum_rounds=grad_accum_rounds,
         NN_rec_lpips_weight=G_loss_args.get("NN_rec_lpips_weight", 2.5),
         gamma=D_loss_args.get("gamma", 10.0),
         G_reg_interval=G_reg_interval, D_reg_interval=D_reg_interval,

@@ -98,3 +98,102 @@ def test_minibatch_epoch_wraparound(tmp_path):
     flat = np.concatenate(seen).reshape(12, -1)
     uniq = np.unique(flat, axis=0)
     assert len(uniq) == 5
+
+
+def test_create_celebahq_roundtrip(tmp_path):
+    """End-to-end CelebA-HQ reconstruction on a synthetic 2-image corpus:
+    landmark-oriented crop, PBKDF2+Fernet delta decryption (keyed on the
+    original jpg bytes), uint8-wraparound delta application, and strict MD5
+    verification (reference dataset_tool.py:490-625)."""
+    import base64
+    import bz2
+    import hashlib
+    import zipfile
+
+    import cryptography.fernet
+    import cryptography.hazmat.backends
+    import cryptography.hazmat.primitives.hashes
+    import cryptography.hazmat.primitives.kdf.pbkdf2
+    from PIL import Image
+
+    from inclusivegan_tpu.data.dataset_tool import create_celebahq
+
+    n = 2
+    celeba = tmp_path / "celeba"
+    (celeba / "img_celeba").mkdir(parents=True)
+    (celeba / "Anno").mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(n):
+        name = f"{i + 1:06d}.jpg"
+        names.append(name)
+        Image.fromarray(
+            rng.randint(0, 256, (218, 178, 3), np.uint8), "RGB").save(
+            str(celeba / "img_celeba" / name), quality=95)
+    # plausible frontal-face landmarks: eyes, nose, mouth corners
+    lm = "70 112 108 112 89 135 72 153 106 153"
+    with open(celeba / "Anno" / "list_landmarks_celeba.txt", "w") as f:
+        f.write(f"{n}\nlefteye_x lefteye_y ...\n")
+        for name in names:
+            f.write(f"{name} {lm}\n")
+
+    delta_dir = tmp_path / "deltas"
+    delta_dir.mkdir()
+
+    def encrypt_delta(idx, delta):
+        with open(celeba / "img_celeba" / names[idx], "rb") as f:
+            orig_bytes = f.read()
+        kdf = cryptography.hazmat.primitives.kdf.pbkdf2.PBKDF2HMAC(
+            algorithm=cryptography.hazmat.primitives.hashes.SHA256(),
+            length=32, salt=names[idx].encode(), iterations=100000,
+            backend=cryptography.hazmat.backends.default_backend())
+        key = base64.urlsafe_b64encode(kdf.derive(orig_bytes))
+        return cryptography.fernet.Fernet(key).encrypt(
+            bz2.compress(delta.tobytes()))
+
+    # pass 1: zero deltas, strict off → recover the processed (pre-delta)
+    # images so we can fabricate ground-truth md5s + a nonzero delta
+    zeros = np.zeros((3, 1024, 1024), np.uint8)
+    with zipfile.ZipFile(delta_dir / "deltas00000.zip", "w") as zf:
+        for i in range(n):
+            zf.writestr(f"delta{i:05d}.dat", encrypt_delta(i, zeros))
+    with open(delta_dir / "image_list.txt", "w") as f:
+        f.write("idx orig_idx orig_file proc_md5 final_md5\n")
+        for i in range(n):
+            f.write(f"{i} {i} {names[i]} x x\n")
+    out1 = str(tmp_path / "hq1")
+    create_celebahq(out1, str(celeba), str(delta_dir), shuffle=False,
+                    strict=False, expected_images=n, num_threads=2)
+    ds = TFRecordDataset(out1, max_label_size=0)
+    proc = ds.get_all_images()
+    assert proc.shape == (n, 3, 1024, 1024) and proc.dtype == np.uint8
+
+    # pass 2: real deltas + correct md5s, strict on → wraparound add verified
+    delta = rng.randint(0, 256, (3, 1024, 1024), np.uint8)
+    with zipfile.ZipFile(delta_dir / "deltas00000.zip", "w") as zf:
+        for i in range(n):
+            zf.writestr(f"delta{i:05d}.dat", encrypt_delta(i, delta))
+    with open(delta_dir / "image_list.txt", "w") as f:
+        f.write("idx orig_idx orig_file proc_md5 final_md5\n")
+        for i in range(n):
+            pm = hashlib.md5(proc[i].tobytes()).hexdigest()
+            fm = hashlib.md5((proc[i] + delta).tobytes()).hexdigest()
+            f.write(f"{i} {i} {names[i]} {pm} {fm}\n")
+    out2 = str(tmp_path / "hq2")
+    png_dir = str(tmp_path / "pngs")
+    create_celebahq(out2, str(celeba), str(delta_dir), shuffle=False,
+                    strict=True, expected_images=n, num_threads=2,
+                    out_img_dir=png_dir)
+    ds2 = TFRecordDataset(out2, max_label_size=0)
+    final = ds2.get_all_images()
+    np.testing.assert_array_equal(final, proc + delta)  # uint8 wraparound
+    assert len(os.listdir(png_dir)) == n
+
+    # strict mode rejects corrupted md5s
+    with open(delta_dir / "image_list.txt", "w") as f:
+        f.write("idx orig_idx orig_file proc_md5 final_md5\n")
+        for i in range(n):
+            f.write(f"{i} {i} {names[i]} bad bad\n")
+    with pytest.raises(RuntimeError, match="md5 mismatch"):
+        create_celebahq(str(tmp_path / "hq3"), str(celeba), str(delta_dir),
+                        shuffle=False, strict=True, expected_images=n)

@@ -132,3 +132,59 @@ def test_adam_nan_skip():
     p3, st3, ok = adam_apply(params, good, st, learning_rate=0.1)
     assert bool(ok) and int(st3.count) == 1
     assert float(jnp.abs(p3["w"] - params["w"]).max()) > 0
+
+
+def test_grad_accumulation_runs(setup):
+    """grad_accum_rounds=2 (reference minibatch_multiplier machinery,
+    optimizer.py:208-234): lax.scan microbatching compiles under shard_map,
+    produces finite losses, moves params, and threads pl_mean through the
+    rounds."""
+    from inclusivegan_tpu.models.lpips import init_lpips_params
+    G, D, mesh, state, _ = setup
+    cfg = TrainConfig(mirror_augment=False, grad_accum_rounds=2)
+    step = make_train_step(G, D, init_lpips_params(seed=7), mesh, cfg)
+    new_state, scalars = step(state, _batch(3), jax.random.key(3),
+                              jnp.float32(0.002), jnp.float32(0.002),
+                              jnp.float32(0.99),
+                              do_g_reg=True, do_d_reg=True)
+    for name in ("Loss/G_total", "Loss/D_total", "Loss/pl_penalty",
+                 "Loss/gradient_penalty_D"):
+        assert np.isfinite(float(scalars[name])), name
+    old_w = state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+    assert float(jnp.abs(new_state.g_params["synthesis"]["4x4"]["Conv"]["weight"]
+                         - old_w).max()) > 0
+    assert float(new_state.pl_mean) != 0.0
+    assert float(jnp.abs(new_state.g_params["dlatent_avg"]).max()) > 0
+
+
+def test_grad_accumulation_r1_matches_full_batch():
+    """With mbstd disabled, the R1 phase is deterministic and per-sample
+    independent, so scan-accumulated microbatch grads == full-batch grads:
+    the D-reg update must match between rounds=1 and rounds=2 to fp
+    tolerance. (With mbstd on, groups are strided over the batch — reference
+    networks_stylegan2.py:132-144 — so the split legitimately changes the
+    stats; that path is covered by test_grad_accumulation_runs.)"""
+    from inclusivegan_tpu.models.lpips import init_lpips_params
+    from inclusivegan_tpu.training.train_state import create_train_state
+    from inclusivegan_tpu.parallel import make_data_mesh
+    G = GMain.create(resolution=RES, num_channels=3, latent_size=ZDIM,
+                     dlatent_size=ZDIM, fmap_base=256, fmap_max=32,
+                     mapping_layers=2, mapping_fmaps=32)
+    D = Discriminator(resolution=RES, num_channels=3, fmap_base=256,
+                      fmap_max=32, mbstd_group_size=1)
+    mesh = make_data_mesh()
+    state = create_train_state(jax.random.key(0), G, D)
+    lpips = init_lpips_params(seed=7)
+    step1 = make_train_step(G, D, lpips, mesh,
+                            TrainConfig(grad_accum_rounds=1))
+    step2 = make_train_step(G, D, lpips, mesh,
+                            TrainConfig(grad_accum_rounds=2))
+    batch = _batch(5)
+    batch_d = {"reals": batch["reals"], "labels": batch["labels"]}
+    rng = jax.random.key(5)
+    s1, _ = step1.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002))
+    s2, _ = step2.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002))
+    w1 = np.asarray(s1.d_params["4x4"]["Conv"]["weight"])
+    w2 = np.asarray(s2.d_params["4x4"]["Conv"]["weight"])
+    assert float(np.abs(w1 - np.asarray(state.d_params["4x4"]["Conv"]["weight"])).max()) > 0
+    np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=2e-6)
