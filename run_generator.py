@@ -12,6 +12,9 @@ import sys
 import numpy as np
 
 from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
 def generate_images(submit_config, network_pkl, num_images, minibatch_size,

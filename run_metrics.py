@@ -7,6 +7,9 @@ import sys
 
 from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
 from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
 def run(submit_config, network_pkl, metrics, dataset, data_dir):

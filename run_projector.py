@@ -11,6 +11,9 @@ import sys
 import numpy as np
 
 from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
 def project_image(proj, targets, submit_config, image_idx_base,

@@ -15,6 +15,9 @@ import sys
 from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
 from inclusivegan_tpu.utils.easydict import EasyDict
 from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 _valid_configs = [
     "config-a", "config-b", "config-c", "config-d", "config-e", "config-f",
