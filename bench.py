@@ -59,8 +59,10 @@ def main():
                       architecture="resnet", mbstd_group_size=6, dtype=dtype)
     mesh = make_data_mesh()
     state = create_train_state(jax.random.key(0), G, D)
-    step = make_train_step(G, D, init_lpips_params(seed=1), mesh,
-                           TrainConfig(gamma=100.0, lpips_dtype=dtype))
+    step = make_train_step(
+        G, D, init_lpips_params(seed=1), mesh,
+        TrainConfig(gamma=100.0, lpips_dtype=dtype,
+                    donate_state=os.environ.get("BENCH_DONATE", "1") == "1"))
 
     r = np.random.RandomState(0)
 

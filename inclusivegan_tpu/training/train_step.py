@@ -75,6 +75,13 @@ class TrainConfig(NamedTuple):
     # `rounds` microbatches of size per_device_batch/rounds, sums grads,
     # applies Adam once. 1 = fast path (reference training_loop.py:467).
     grad_accum_rounds: int = 1
+    # Donate the state pytree to each phase program: XLA reuses the input
+    # param/moment HBM buffers for the outputs instead of allocating fresh
+    # ones (~4 donations/iter at ~1 GB state). Only safe when the caller
+    # never touches a state value after passing it in — the training loop
+    # threads state linearly so it qualifies; keep False for interactive
+    # use / tests that reuse a state across calls.
+    donate_state: bool = False
 
 
 def _microbatch(tree, rounds: int):
@@ -372,25 +379,26 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         return jax.shard_map(fn, mesh=mesh, in_specs=specs,
                              out_specs=(P(), P()))
 
-    # NOTE: no donate_argnums yet — callers (tests, eval harnesses) may
-    # reuse a state pytree across calls; revisit with explicit donation in
-    # the perf pass.
-    @jax.jit
+    # cfg.donate_state lets XLA write each phase's updated params/moments
+    # in place of the input buffers (the caller must thread state linearly)
+    donate = (0,) if cfg.donate_state else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def g_step(state, batch_g, rng, g_lrate):
         return _smap(g_phase_local, batch_g, 2)(state, batch_g, rng, g_lrate)
 
-    @functools.partial(jax.jit, static_argnums=(3,))
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=donate)
     def g_reg_step(state, rng, g_lrate, local_mb):
         fn = functools.partial(g_reg_phase_local, local_mb=local_mb)
         return jax.shard_map(fn, mesh=mesh, in_specs=(P(), P(), P()),
                              out_specs=(P(), P()))(state, rng, g_lrate)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=donate)
     def d_step(state, batch_d, rng, d_lrate, gs_beta):
         return _smap(d_phase_local, batch_d, 3)(state, batch_d, rng, d_lrate,
                                                 gs_beta)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=donate)
     def d_reg_step(state, batch_d, rng, d_lrate):
         return _smap(d_reg_phase_local, batch_d, 2)(state, batch_d, rng,
                                                     d_lrate)

@@ -294,7 +294,10 @@ def training_loop(
         adam_eps=G_opt_args.get("epsilon", 1e-8),
         mirror_augment=mirror_augment,
         drange_data=tuple(float(v) for v in training_set.dynamic_range),
-        lazy_regularization=lazy_regularization)
+        lazy_regularization=lazy_regularization,
+        # the loop threads state linearly (state = train_step(state, ...)),
+        # so each phase may write params/moments in place of its input
+        donate_state=True)
     train_step = make_train_step(G, D, lpips_params, mesh, cfg)
 
     grid_latents = np.random.randn(int(np.prod(grid_size)),
@@ -375,6 +378,17 @@ def training_loop(
                   f"sec/kimg {tick_time / max(tick_kimg, 1e-8):<7.2f}")
             stats.report("Timing/sec_per_tick", tick_time)
             stats.report("Timing/sec_per_kimg", tick_time / max(tick_kimg, 1e-8))
+            # device memory telemetry (reference peak-GPU-mem autosummary,
+            # training_loop.py:301-305,503); memory_stats() is backend-
+            # dependent — absent on CPU and some relay clients
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                peak = ms.get("peak_bytes_in_use", ms.get("bytes_in_use"))
+                if peak is not None:
+                    stats.report("Resources/peak_device_mem_gb",
+                                 peak / 2.0 ** 30)
+            except Exception:
+                pass
             events.add_scalars(stats.flush(step=cur_nimg), step=cur_nimg)
             events.flush()
             tick_start_nimg = cur_nimg
