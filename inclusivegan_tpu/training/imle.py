@@ -171,15 +171,28 @@ class IMLEOrchestrator:
         n = self.data_size * self.num_samples_factor
         feats = np.empty((n, self.proj_dim), np.float64)
         bs = self.candidate_batch_size
+
+        def _consume(i, out):
+            if generate_features is not None:
+                feats[i:i + bs] = np.asarray(out).astype(np.float64)
+            else:
+                feats[i:i + bs] = self._features_from_images(np.asarray(out))
+
+        # one-deep pipeline: dispatch batch i+1 before fetching batch i, so
+        # the device→host copy (and host featurization in the fallback path)
+        # overlaps the next batch's G forward — jax dispatch is async
+        pend = None
         for i in range(0, n, bs):
             if verbose and (i // bs) % 16 == 0:
                 print(f"\rCandidates sampling {i}/{n}...", end="", flush=True)
             z = self.latent_candidates[i:i + bs]
-            if generate_features is not None:
-                feats[i:i + bs] = np.asarray(generate_features(z)).astype(np.float64)
-            else:
-                imgs = generate_images(z)
-                feats[i:i + bs] = self._features_from_images(np.asarray(imgs))
+            out = (generate_features(z) if generate_features is not None
+                   else generate_images(z))
+            if pend is not None:
+                _consume(*pend)
+            pend = (i, out)
+        if pend is not None:
+            _consume(*pend)
         if verbose:
             print("\rDCI constructing...                    ")
 

@@ -253,7 +253,9 @@ def training_loop(
             latents_np = np.concatenate([latents_np, pad])
         _sample_key[0], k = jax.random.split(_sample_key[0])
         out = fn(state.g_params, jnp.asarray(latents_np), k)
-        return np.asarray(out[:n])
+        # return the (async) device array — the IMLE rebuild overlaps the
+        # device→host fetch of batch i with the compute of batch i+1
+        return out[:n]
 
     def generate_images(latents_np):
         return _batched(g_sample, latents_np)
