@@ -102,6 +102,14 @@ class MetricBase:
             **eval_kwargs):
         self._results = []
         self._network_name = os.path.splitext(os.path.basename(network_pkl))[0]
+        if not dataset_args and run_dir is not None:
+            # fall back to the run's own dataset config (reference
+            # metric_base.py:48-52 via misc.parse_config_for_previous_run)
+            from ..utils.misc import parse_config_for_previous_run
+            try:
+                dataset_args = parse_config_for_previous_run(run_dir)["dataset"]
+            except Exception:
+                dataset_args = dataset_args or {}
         t0 = time.time()
         sampler = GsSampler(network_pkl, minibatch_size=minibatch_size)
         self._evaluate(sampler, dataset_args=dict(dataset_args),

@@ -57,6 +57,17 @@ def slerp_np(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
     return normalize(out).astype(a.dtype)
 
 
+def parse_config_for_previous_run(run_dir: str) -> dict:
+    """Recover training/dataset config from a run dir's submit_config.pkl
+    (reference training/misc.py:85-89) — lets metrics re-open the run's own
+    dataset when dataset_args aren't given (metric_base.py:48-52)."""
+    import pickle
+    with open(os.path.join(run_dir, "submit_config.pkl"), "rb") as f:
+        sc = pickle.load(f)
+    data = getattr(sc, "run_func_kwargs", {}) or {}
+    return dict(train=data, dataset=data.get("dataset_args", {}))
+
+
 def parse_kimg_time_from_log(log_path: str) -> Tuple[float, float]:
     """Recover (kimg, seconds) from the last tick line of a previous run's
     log.txt — resume capability parity with ``misc.resume_kimg_time``

@@ -139,3 +139,19 @@ def test_registry_resolution():
     out = call_func_by_name(2, 512, 1.0, 1, 64,
                             func_name="inclusivegan_tpu.models.stylegan2.nf")
     assert out == 64
+
+
+def test_parse_config_for_previous_run(tmp_path):
+    """Run-dir config recovery (reference misc.py:85-89): metrics re-open a
+    run's own dataset when dataset_args aren't passed."""
+    import pickle
+    from inclusivegan_tpu.utils.misc import parse_config_for_previous_run
+    from inclusivegan_tpu.utils.run_harness import SubmitConfig
+    sc = SubmitConfig()
+    sc.run_func_kwargs = {"dataset_args": {"tfrecord_dir": "toy"},
+                          "mirror_augment": True}
+    with open(tmp_path / "submit_config.pkl", "wb") as f:
+        pickle.dump(sc, f)
+    cfg = parse_config_for_previous_run(str(tmp_path))
+    assert cfg["dataset"] == {"tfrecord_dir": "toy"}
+    assert cfg["train"]["mirror_augment"] is True
