@@ -33,10 +33,16 @@ def _cache_dir() -> str:
 
 
 class GsSampler:
-    """Batched eval-mode image sampler over a snapshot's Gs."""
+    """Batched eval-mode image sampler over a snapshot's Gs.
+
+    ``num_devices`` > 1 shards the sample batch over a 1-D data mesh — the
+    TPU-native equivalent of the reference's per-GPU ``Network.run`` graph
+    replication (network.py:403-428): params are placed replicated, latents
+    sharded on the leading axis, and jit partitions the program SPMD."""
 
     def __init__(self, network_pkl: str, minibatch_size: int = 32,
-                 truncation_psi: Optional[float] = None, seed: int = 1000):
+                 truncation_psi: Optional[float] = None, seed: int = 1000,
+                 num_devices: int = 1):
         from ..training.training_loop import load_snapshot
         self.G, self.D, params = load_snapshot(network_pkl)
         self.gs_params = params["gs_params"]
@@ -48,6 +54,19 @@ class GsSampler:
         self.num_channels = self.G.synthesis.num_channels
         self._psi = truncation_psi
         self._key = jax.random.key(seed)
+
+        self._z_sharding = None
+        if num_devices and num_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import make_data_mesh
+            mesh = make_data_mesh(num_devices)
+            n_dev = mesh.devices.size
+            # leading axis must shard evenly
+            self.minibatch = max(
+                n_dev, (self.minibatch // n_dev) * n_dev)
+            self._z_sharding = NamedSharding(mesh, P("data"))
+            self.gs_params = jax.device_put(
+                self.gs_params, NamedSharding(mesh, P()))
 
         @jax.jit
         def sample(params, z, rng):
@@ -70,7 +89,10 @@ class GsSampler:
             if pad > 0:
                 z = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
             self._key, k = jax.random.split(self._key)
-            img = self._sample(self.gs_params, jnp.asarray(z), k)
+            z = jnp.asarray(z)
+            if self._z_sharding is not None:
+                z = jax.device_put(z, self._z_sharding)
+            img = self._sample(self.gs_params, z, k)
             outs.append(np.asarray(img)[:bs - pad if pad else bs])
         return np.concatenate(outs)[:latents.shape[0]]
 
@@ -111,7 +133,8 @@ class MetricBase:
             except Exception:
                 dataset_args = dataset_args or {}
         t0 = time.time()
-        sampler = GsSampler(network_pkl, minibatch_size=minibatch_size)
+        sampler = GsSampler(network_pkl, minibatch_size=minibatch_size,
+                            num_devices=num_devices)
         self._evaluate(sampler, dataset_args=dict(dataset_args),
                        data_dir=data_dir, **eval_kwargs)
         self._eval_time = time.time() - t0

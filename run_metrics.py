@@ -21,7 +21,8 @@ def run(submit_config, network_pkl, metrics, dataset, data_dir):
     for args in metrics:
         results.update(metric_base.run_metric(
             args, network_pkl=network_pkl, dataset_args=dataset_args,
-            data_dir=data_dir, run_dir=submit_config.run_dir))
+            data_dir=data_dir, run_dir=submit_config.run_dir,
+            num_devices=getattr(submit_config, "num_devices", 1) or 1))
     return results
 
 
@@ -39,6 +40,10 @@ def main():
     parser.add_argument("--metrics", default="fid30k", type=_parse_comma_sep)
     parser.add_argument("--dataset", required=True)
     parser.add_argument("--data-dir", required=True)
+    # --num-gpus kept as an alias (reference run_metrics.py:55)
+    parser.add_argument("--num-gpus", "--num-devices", dest="num_devices",
+                        type=int, default=1, metavar="N",
+                        help="devices to shard fake-generation over")
     args = parser.parse_args()
 
     metrics = []
@@ -51,6 +56,7 @@ def main():
     sc = SubmitConfig()
     sc.run_dir_root = args.result_dir
     sc.run_desc = "run_metrics"
+    sc.num_devices = args.num_devices
     submit_run(sc, "run_metrics.run", network_pkl=args.network_pkl,
                metrics=metrics, dataset=args.dataset, data_dir=args.data_dir)
 

@@ -16,3 +16,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# CPU compiles dominate suite runtime (InceptionV3 + the 4 phase programs);
+# the persistent XLA cache cuts repeat runs dramatically on a 1-CPU box.
+from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

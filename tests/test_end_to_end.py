@@ -146,3 +146,20 @@ def test_projector_reduces_distance(trained_run):
     d1 = proj.get_dist().mean()
     assert np.isfinite(d1)
     assert d1 < d0  # optimizing its own samples must reduce the distance
+
+
+def test_gs_sampler_sharded_matches_single_device(trained_run):
+    """num_devices>1 GsSampler (the TPU equivalent of Network.run's per-GPU
+    replication, reference network.py:403-428) is value-identical to the
+    single-device path: params replicated, latents sharded, same rng."""
+    from inclusivegan_tpu.metrics.metric_base import GsSampler
+    run_dir, _ = trained_run
+    pkl = os.path.join(run_dir, "network-final.pkl")
+    s1 = GsSampler(pkl, minibatch_size=8, seed=3)
+    s8 = GsSampler(pkl, minibatch_size=8, seed=3, num_devices=8)
+    assert s8.minibatch == 8
+    z = np.random.RandomState(1).randn(12, s1.latent_size).astype(np.float32)
+    a = s1.run(z)
+    b = s8.run(z)
+    assert a.shape == b.shape == (12, s1.num_channels, RES, RES)
+    np.testing.assert_allclose(a, b, atol=1e-2, rtol=1e-4)
