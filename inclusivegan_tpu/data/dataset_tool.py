@@ -287,11 +287,15 @@ def create_celebahq(tfrecord_dir: str, celeba_dir: str, delta_dir: str,
     import base64
     import bz2
     import hashlib
+    import threading
     import zipfile
     from concurrent.futures import ThreadPoolExecutor
 
     import scipy.ndimage
     from PIL import Image
+
+    _zip_cache: dict = {}
+    _zip_lock = threading.Lock()
 
     jpgs = glob.glob(os.path.join(celeba_dir, "img_celeba", "*.jpg"))
     assert len(jpgs) == expected_images, \
@@ -405,8 +409,14 @@ def create_celebahq(tfrecord_dir: str, celeba_dir: str, delta_dir: str,
         import cryptography.hazmat.backends
         import cryptography.hazmat.primitives.hashes
         import cryptography.hazmat.primitives.kdf.pbkdf2
-        with zipfile.ZipFile(os.path.join(
-                delta_dir, "deltas%05d.zip" % (idx - idx % 1000)), "r") as zf:
+        zpath = os.path.join(delta_dir, "deltas%05d.zip" % (idx - idx % 1000))
+        with _zip_lock:
+            # cached handles: re-parsing a ~1000-entry central directory per
+            # image costs minutes over the full 202k set; ZipFile.read on a
+            # shared handle isn't thread-safe, so reads stay under the lock
+            zf = _zip_cache.get(zpath)
+            if zf is None:
+                zf = _zip_cache[zpath] = zipfile.ZipFile(zpath, "r")
             delta_bytes = zf.read("delta%05d.dat" % idx)
         with open(orig_path, "rb") as f:
             orig_bytes = f.read()
@@ -443,6 +453,8 @@ def create_celebahq(tfrecord_dir: str, celeba_dir: str, delta_dir: str,
                             img.transpose(1, 2, 0), "RGB").save(os.path.join(
                                 out_img_dir, "%06d.png" % tfr.cur_images))
                     tfr.add_image(img)
+    for zf in _zip_cache.values():
+        zf.close()
 
 
 def load_celeba_attributes(attr_file: str):

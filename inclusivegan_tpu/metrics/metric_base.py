@@ -61,9 +61,15 @@ class GsSampler:
             from ..parallel import make_data_mesh
             mesh = make_data_mesh(num_devices)
             n_dev = mesh.devices.size
+            if n_dev != num_devices:
+                print(f"GsSampler: requested {num_devices} devices, "
+                      f"only {n_dev} available — sharding over {n_dev}")
             # leading axis must shard evenly
-            self.minibatch = max(
-                n_dev, (self.minibatch // n_dev) * n_dev)
+            mb = max(n_dev, (self.minibatch // n_dev) * n_dev)
+            if mb != self.minibatch:
+                print(f"GsSampler: minibatch {self.minibatch} → {mb} "
+                      f"(multiple of {n_dev} devices)")
+            self.minibatch = mb
             self._z_sharding = NamedSharding(mesh, P("data"))
             self.gs_params = jax.device_put(
                 self.gs_params, NamedSharding(mesh, P()))
@@ -130,8 +136,12 @@ class MetricBase:
             from ..utils.misc import parse_config_for_previous_run
             try:
                 dataset_args = parse_config_for_previous_run(run_dir)["dataset"]
-            except Exception:
-                dataset_args = dataset_args or {}
+            except Exception as e:
+                # dataset-less metrics (IS, PPL, mode_counts, KL) still run;
+                # dataset-needing ones will fail at load_dataset — say why
+                print(f"warning: no dataset config recoverable from "
+                      f"{run_dir} ({e}); metrics needing reals will fail")
+                dataset_args = {}
         t0 = time.time()
         sampler = GsSampler(network_pkl, minibatch_size=minibatch_size,
                             num_devices=num_devices)

@@ -93,29 +93,38 @@ def _microbatch(tree, rounds: int):
     return jax.tree_util.tree_map(split, tree)
 
 
-def _accum_scan(round_fn, params0, keys, micro):
+def _accum_scan(round_fn, params0, keys, micro=None, carry0=None):
     """Accumulate grads over microbatches (reference accumulation vars +
     counter, optimizer.py:208-234, as one lax.scan).
 
-    round_fn(key, microbatch) -> (aux, grads). Returns (mean_grads, aux_stack)
-    where aux_stack leaves have a leading `rounds` axis.
+    round_fn(key, microbatch, carry) -> (aux, grads, new_carry); microbatch
+    is None when `micro` is None, and carry threads sequentially through the
+    rounds (used for the path-length EMA). Returns
+    (mean_grads, aux_stack, final_carry) where aux_stack leaves have a
+    leading `rounds` axis.
     """
     rounds = keys.shape[0]
 
-    def body(acc, xs):
-        key, mb = xs
-        aux, g = round_fn(key, mb)
+    def body(c, xs):
+        acc, carry = c
+        key, mb = xs if micro is not None else (xs, None)
+        aux, g, carry = round_fn(key, mb, carry)
         acc = jax.tree_util.tree_map(
             lambda a, b: a + b.astype(jnp.float32), acc, g)
-        return acc, aux
+        return (acc, carry), aux
 
-    # grads are device-varying (per-device data) — the zero init must be too
+    # accumulator and carry become device-varying inside the scan (per-
+    # device data/rng) — the replicated initial values must be cast
+    def _vary(x):
+        return lax.pcast(x, ("data",), to="varying")
+
     zeros = jax.tree_util.tree_map(
-        lambda p: lax.pcast(jnp.zeros(p.shape, jnp.float32), ("data",),
-                            to="varying"), params0)
-    acc, aux_stack = lax.scan(body, zeros, (keys, micro))
+        lambda p: _vary(jnp.zeros(p.shape, jnp.float32)), params0)
+    carry0 = jax.tree_util.tree_map(_vary, carry0)
+    xs = (keys, micro) if micro is not None else keys
+    (acc, carry), aux_stack = lax.scan(body, (zeros, carry0), xs)
     grads = jax.tree_util.tree_map(lambda g: g / rounds, acc)
-    return grads, aux_stack
+    return grads, aux_stack, carry
 
 
 def _process_reals(x, rng, mirror_augment: bool, drange_data):
@@ -199,8 +208,9 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
             (g_loss, raw_scalars, avgs), grads = round_fn(k_g, data)
             avgs = list(avgs)
         else:
-            grads, (losses, scal, avg_stack) = _accum_scan(
-                round_fn, trainables0, random.split(k_g, rounds),
+            grads, (losses, scal, avg_stack), _ = _accum_scan(
+                lambda k, d, c: round_fn(k, d) + (None,),
+                trainables0, random.split(k_g, rounds),
                 _microbatch(data, rounds))
             g_loss = jnp.mean(losses)
             raw_scalars = {k: jnp.mean(v) for k, v in scal.items()}
@@ -248,28 +258,16 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
             (new_pl, reg_scalars, ba), grads = round_fn(rng, state.pl_mean)
             bas = [ba]
         else:
-            # pl_mean EMA threads through the rounds sequentially, like the
-            # reference's per-round assign of the pl_mean var (loss.py:76-79)
-            keys = random.split(rng, rounds)
-
-            def body(carry, xs):
-                acc, pl = carry
-                key = xs
+            # pl_mean EMA threads through the rounds sequentially (scan
+            # carry), like the reference's per-round assign of the pl_mean
+            # var (loss.py:76-79)
+            def scan_fn(key, _mb, pl):
                 (new_pl, scal, ba), g = round_fn(key, pl)
-                acc = jax.tree_util.tree_map(
-                    lambda a, b: a + b.astype(jnp.float32), acc, g)
-                return (acc, new_pl), (scal, ba)
+                return (scal, ba), g, new_pl
 
-            zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), trainables0)
-            # the carried pl_mean becomes device-varying inside the scan
-            # (per-device rng), so the replicated initial value must be cast
-            pl0 = lax.pcast(state.pl_mean, ("data",), to="varying")
-            zeros = jax.tree_util.tree_map(
-                lambda z: lax.pcast(z, ("data",), to="varying"), zeros)
-            (acc, new_pl), (scal_stack, ba_stack) = lax.scan(
-                body, (zeros, pl0), keys)
-            grads = jax.tree_util.tree_map(lambda g: g / rounds, acc)
+            grads, (scal_stack, ba_stack), new_pl = _accum_scan(
+                scan_fn, trainables0, random.split(rng, rounds),
+                carry0=state.pl_mean)
             reg_scalars = {k: jnp.mean(v) for k, v in scal_stack.items()}
             bas = [ba_stack[r] for r in range(rounds)]
 
@@ -313,8 +311,9 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
             (d_loss, d_scalars, avgs), grads = round_fn(k_d, data)
             avgs = list(avgs)
         else:
-            grads, (losses, scal, avg_stack) = _accum_scan(
-                round_fn, state.d_params, random.split(k_d, rounds),
+            grads, (losses, scal, avg_stack), _ = _accum_scan(
+                lambda k, d, c: round_fn(k, d) + (None,),
+                state.d_params, random.split(k_d, rounds),
                 _microbatch(data, rounds))
             d_loss = jnp.mean(losses)
             d_scalars = {k: jnp.mean(v) for k, v in scal.items()}
@@ -358,8 +357,9 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         if rounds == 1:
             reg_scalars, grads = round_fn(None, data)
         else:
-            grads, scal = _accum_scan(
-                round_fn, state.d_params, random.split(rng, rounds),
+            grads, scal, _ = _accum_scan(
+                lambda k, d, c: round_fn(k, d) + (None,),
+                state.d_params, random.split(rng, rounds),
                 _microbatch(data, rounds))
             reg_scalars = {k: jnp.mean(v) for k, v in scal.items()}
         grads = _pmean_tree(grads)

@@ -468,6 +468,7 @@ def _run_metrics(metric_arg_list, snapshot_path, dataset_args, data_dir,
         try:
             metric_base.run_metric(args, network_pkl=snapshot_path,
                                    dataset_args=dataset_args,
-                                   data_dir=data_dir, run_dir=run_dir)
+                                   data_dir=data_dir, run_dir=run_dir,
+                                   num_devices=mesh.devices.size)
         except Exception as e:  # metrics must not kill training
             print(f"metric {args.get('name', '?')} failed: {e}")
