@@ -37,7 +37,8 @@ def vars_to_tree(var_dict, prefix):
 
 def convert(vars_npz: str, out_pkl: str, resolution: int, num_channels: int,
             latent_size: int = 512, fmap_base: int = 8 << 10,
-            g_arch: str = "skip", d_arch: str = "resnet"):
+            g_arch: str = "skip", d_arch: str = "resnet",
+            g_kwargs: dict = {}, d_kwargs: dict = {}):
     data = dict(np.load(vars_npz))
 
     def g_tree(net):
@@ -57,13 +58,13 @@ def convert(vars_npz: str, out_pkl: str, resolution: int, num_channels: int,
     snap = {
         "format": "inclusivegan_tpu.network_snapshot.v1",
         "G": {"config": _g_config(resolution, num_channels, latent_size,
-                                  fmap_base, g_arch),
+                                  fmap_base, g_arch, **g_kwargs),
               "params": g_tree("G")},
         "Gs": {"config": _g_config(resolution, num_channels, latent_size,
-                                   fmap_base, g_arch),
+                                   fmap_base, g_arch, **g_kwargs),
                "params": g_tree("Gs")},
         "D": {"config": _d_config(resolution, num_channels, fmap_base,
-                                  d_arch),
+                                  d_arch, **d_kwargs),
               "params": vars_to_tree(data, "D")},
     }
     with open(out_pkl, "wb") as f:
@@ -71,20 +72,21 @@ def convert(vars_npz: str, out_pkl: str, resolution: int, num_channels: int,
     print(f"wrote {out_pkl}")
 
 
-def _g_config(resolution, num_channels, latent_size, fmap_base, arch):
+def _g_config(resolution, num_channels, latent_size, fmap_base, arch,
+              **kwargs):
     import dataclasses
     from inclusivegan_tpu.models import GMain
     G = GMain.create(resolution=resolution, num_channels=num_channels,
                      latent_size=latent_size, dlatent_size=latent_size,
-                     fmap_base=fmap_base, architecture=arch)
+                     fmap_base=fmap_base, architecture=arch, **kwargs)
     return dataclasses.asdict(G)
 
 
-def _d_config(resolution, num_channels, fmap_base, arch):
+def _d_config(resolution, num_channels, fmap_base, arch, **kwargs):
     import dataclasses
     from inclusivegan_tpu.models import Discriminator
     D = Discriminator(resolution=resolution, num_channels=num_channels,
-                      fmap_base=fmap_base, architecture=arch)
+                      fmap_base=fmap_base, architecture=arch, **kwargs)
     return dataclasses.asdict(D)
 
 

@@ -67,3 +67,61 @@ def test_dci_nn_search_op_inside_jit():
     ids, dists = lookup(q)
     np.testing.assert_array_equal(np.asarray(ids), np.arange(5))
     assert float(jnp.max(dists)) < 1e-3
+
+
+def test_reference_pkl_converter_roundtrip(tmp_path):
+    """Stage-2 converter (scripts/convert_reference_pkl.py): flat reference
+    variable names ('G/G_synthesis/4x4/Conv/weight', noise vars under the
+    G_synthesis scope, 'G/dlatent_avg') map bijectively onto our param trees
+    and the converted snapshot loads and runs a forward pass."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    from convert_reference_pkl import convert
+    from inclusivegan_tpu.training.training_loop import load_snapshot
+
+    G, D = _models()
+    state = create_train_state(jax.random.key(3), G, D)
+
+    def flatten(tree, prefix, out):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                flatten(v, f"{prefix}/{k}", out)
+            else:
+                out[f"{prefix}/{k}"] = np.asarray(v)
+
+    flat = {}
+    for net, params in (("G", state.g_params), ("Gs", state.gs_params)):
+        flatten(params["mapping"], f"{net}/G_mapping", flat)
+        flatten(params["synthesis"], f"{net}/G_synthesis", flat)
+        for k, v in params["noise"].items():
+            flat[f"{net}/G_synthesis/{k}"] = np.asarray(v)
+        flat[f"{net}/dlatent_avg"] = np.asarray(params["dlatent_avg"])
+    flatten(state.d_params, "D", flat)
+
+    npz = str(tmp_path / "vars.npz")
+    np.savez(npz, **flat)
+    out_pkl = str(tmp_path / "converted.pkl")
+    kwargs = dict(fmap_max=16, mapping_layers=1, mapping_fmaps=16)
+    convert(npz, out_pkl, resolution=16, num_channels=3, latent_size=16,
+            fmap_base=128, g_kwargs=kwargs,
+            d_kwargs=dict(fmap_max=16, mbstd_group_size=2))
+
+    G2, D2, params = load_snapshot(out_pkl)
+    # weights survive bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["gs_params"]["synthesis"]["4x4"]["Conv"]["weight"]),
+        np.asarray(state.gs_params["synthesis"]["4x4"]["Conv"]["weight"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["g_params"]["noise"]["noise0"]),
+        np.asarray(state.g_params["noise"]["noise0"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["d_params"]["4x4"]["Conv"]["weight"]),
+        np.asarray(state.d_params["4x4"]["Conv"]["weight"]))
+    # and the converted snapshot actually runs
+    z = np.random.RandomState(0).randn(2, 16).astype(np.float32)
+    img = G2.apply(params["gs_params"], jnp.asarray(z),
+                   jnp.zeros((2, G2.mapping.label_size)),
+                   rng=jax.random.key(0), truncation_psi=0.7)
+    assert img.shape == (2, 3, 16, 16)
+    scores, _feats = D2.apply(params["d_params"], img)
+    assert np.isfinite(np.asarray(scores)).all()
