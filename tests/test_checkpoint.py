@@ -125,3 +125,52 @@ def test_reference_pkl_converter_roundtrip(tmp_path):
     assert img.shape == (2, 3, 16, 16)
     scores, _feats = D2.apply(params["d_params"], img)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_lpips_weight_converter_roundtrip(tmp_path):
+    """scripts/convert_lpips_weights.py: a torchvision-layout VGG16
+    state_dict + richzhang LPIPS linear heads convert to the npz layout
+    models/lpips.py loads, and the loaded params drive a finite LPIPS
+    distance with d(x,x)=0."""
+    import subprocess
+    import sys
+    import torch
+
+    chans = {0: (3, 64), 2: (64, 64), 5: (64, 128), 7: (128, 128),
+             10: (128, 256), 12: (256, 256), 14: (256, 256),
+             17: (256, 512), 19: (512, 512), 21: (512, 512),
+             24: (512, 512), 26: (512, 512), 28: (512, 512)}
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for idx, (cin, cout) in chans.items():
+        sd[f"features.{idx}.weight"] = torch.randn(
+            (cout, cin, 3, 3), generator=g) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.05
+    vgg_pth = str(tmp_path / "vgg16.pth")
+    torch.save(sd, vgg_pth)
+
+    taps_c = [64, 128, 256, 512, 512]
+    lp = {f"lin{i}.model.1.weight": torch.rand((1, c, 1, 1), generator=g)
+          for i, c in enumerate(taps_c)}
+    lpips_pth = str(tmp_path / "lpips_vgg.pth")
+    torch.save(lp, lpips_pth)
+
+    out_npz = str(tmp_path / "lpips.npz")
+    subprocess.run(
+        [sys.executable, "/root/repo/scripts/convert_lpips_weights.py",
+         "--vgg16-pth", vgg_pth, "--lpips-pth", lpips_pth, "--out", out_npz],
+        check=True, capture_output=True)
+
+    from inclusivegan_tpu.models.lpips import (load_lpips_params,
+                                               lpips_distance)
+    params = load_lpips_params(out_npz)
+    # converted conv kernels are HWIO and bit-identical to the source
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["w"]),
+        np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0)))
+    imgs = np.random.RandomState(1).rand(2, 3, 32, 32).astype(np.float32) * 255
+    a = jnp.asarray(imgs)
+    d_self = np.asarray(lpips_distance(params, a, a))
+    d_cross = np.asarray(lpips_distance(params, a, a[::-1]))
+    assert np.allclose(d_self, 0.0, atol=1e-5)
+    assert np.isfinite(d_cross).all() and (d_cross > 0).all()
