@@ -163,3 +163,46 @@ def test_gs_sampler_sharded_matches_single_device(trained_run):
     b = s8.run(z)
     assert a.shape == b.shape == (12, s1.num_channels, RES, RES)
     np.testing.assert_allclose(a, b, atol=1e-2, rtol=1e-4)
+
+
+def test_resume_from_snapshot(trained_run, toy_dataset, tmp_path_factory):
+    """--resume-pkl path: reload the (G, D, Gs) snapshot triple and recover
+    kimg from the previous run's log.txt (reference training_loop.py:191-194
+    + misc.resume_kimg_time)."""
+    import jax.numpy as jnp
+    from inclusivegan_tpu.training.training_loop import load_snapshot
+    from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+
+    run_dir, _ = trained_run
+    pkl = os.path.join(run_dir, "network-final.pkl")
+    _G, _D, snap_params = load_snapshot(pkl)
+    snap_w = np.asarray(snap_params["g_params"]["synthesis"]["4x4"]["Conv"]["weight"])
+
+    result_root = str(tmp_path_factory.mktemp("resume_results"))
+    sc = SubmitConfig(run_dir_root=result_root, run_desc="resume")
+    state = submit_run(
+        sc, "inclusivegan_tpu.training.training_loop.training_loop",
+        G_args=dict(fmap_base=256, fmap_max=32, latent_size=32,
+                    dlatent_size=32, mapping_layers=2, mapping_fmaps=32),
+        D_args=dict(fmap_base=256, fmap_max=32, mbstd_group_size=2),
+        G_loss_args=dict(NN_rec_lpips_weight=2.5),
+        D_loss_args=dict(gamma=10.0),
+        dataset_args=dict(tfrecord_dir=os.path.basename(toy_dataset),
+                          max_label_size="full"),
+        sched_args=dict(minibatch_size_base=MB, minibatch_gpu_base=MB // 8,
+                        tick_kimg_base=0.001),
+        data_dir=os.path.dirname(toy_dataset),
+        total_kimg=1, data_size=DATA_SIZE, num_epochs=1,
+        num_samples_factor=2, init_staleness=10, candidate_batch_size=32,
+        knn_perturb_factor=0.05, init_proj_dim=16, metric_arg_list=[],
+        minibatch_repeats=2, smoke_test_max_iters=2, seed=99,
+        resume_pkl=pkl, save_full_checkpoints=False)
+
+    new_run_dir = os.path.join(result_root, "00000-resume")
+    log = open(os.path.join(new_run_dir, "log.txt")).read()
+    assert "Loading networks from" in log
+    # resumed weights start from the snapshot (2 tiny Adam steps away),
+    # not from a fresh seed-99 init
+    w = np.asarray(state.g_params["synthesis"]["4x4"]["Conv"]["weight"])
+    assert 0.0 < float(np.abs(w - snap_w).max()) < 0.2
+    assert int(state.step) == 2
