@@ -127,6 +127,8 @@ def training_loop(
     mirror_augment: bool = False,
     drange_net=(-1, 1),
     resume_pkl: Optional[str] = None,
+    resume_checkpoint: Optional[str] = None,  # orbax full state (step dir,
+    # a checkpoints/ dir, or a run dir containing checkpoints/)
     data_size: int = 3000,
     num_epochs: int = 10000,
     init_proj_dim: Optional[int] = None,
@@ -201,6 +203,24 @@ def training_loop(
     if resume_state_params is not None:
         state = state._replace(**resume_state_params)
 
+    imle_restore = {}
+    if resume_checkpoint is not None:
+        # full-state resume: params + Adam moments + Gs EMA + pl_mean +
+        # IMLE counters (unlike the reference's weight-only pkls,
+        # SURVEY.md §5 'Checkpoint / resume')
+        from .checkpoint import latest_checkpoint, load_checkpoint
+        ckpt = resume_checkpoint
+        if os.path.isdir(ckpt) and not os.path.basename(
+                ckpt.rstrip("/")).startswith("step_"):
+            ckpt = (latest_checkpoint(ckpt) or
+                    latest_checkpoint(os.path.join(resume_checkpoint,
+                                                   "checkpoints")))
+        assert ckpt, f"no orbax checkpoint under {resume_checkpoint}"
+        print(f'Restoring full training state from "{ckpt}"...')
+        state, imle_restore = load_checkpoint(ckpt, state)
+        # checkpoint dirs are named step_<cur_nimg>
+        resume_kimg = int(os.path.basename(ckpt)[len("step_"):]) / 1000.0
+
     from ..utils.network_util import print_layers
     print_layers({"mapping": state.g_params["mapping"],
                   "synthesis": state.g_params["synthesis"]}, "G")
@@ -220,6 +240,9 @@ def training_loop(
         attr_interesting=attr_interesting, attr_names=attr_names,
         drange_data=training_set.dynamic_range, drange_net=drange_net,
         projector_cache_dir=run_dir, seed=seed)
+    if imle_restore:
+        imle.cursor = int(imle_restore.get("cursor", imle.cursor))
+        imle.staleness = int(imle_restore.get("staleness", imle.staleness))
 
     # jitted eval-mode G for candidate generation / snapshots
     @jax.jit

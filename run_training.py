@@ -33,7 +33,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         num_epochs, init_proj_dim, init_staleness, num_samples_factor,
         knn_perturb_factor, candidate_batch_size, exclusive_retrieved_code,
         NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
-        init_mul, total_kimg=None, smoke_test_max_iters=None):
+        init_mul, total_kimg=None, smoke_test_max_iters=None,
+        resume_checkpoint=None):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -53,6 +54,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
     sched.minibatch_size_base = minibatch_gpu * num_devices
     metrics = [metric_defaults[x] for x in metrics]
     train.resume_pkl = resume_pkl
+    if resume_checkpoint is not None:
+        train.resume_checkpoint = resume_checkpoint
     train.update(data_size=data_size, num_epochs=num_epochs,
                  init_proj_dim=init_proj_dim, init_staleness=init_staleness,
                  num_samples_factor=num_samples_factor,
@@ -168,6 +171,8 @@ def main():
     parser.add_argument("--dist-thres-percentile", default=100.0, type=float)
     parser.add_argument("--attr-interesting", default=None, type=str)
     parser.add_argument("--resume-pkl", default=None, type=str)
+    parser.add_argument("--resume-checkpoint", default=None, type=str,
+                        help="orbax full-state checkpoint (step dir, checkpoints/ dir, or run dir)")
     parser.add_argument("--smoke-test-max-iters", default=None, type=int,
                         help="stop after N iterations (CI smoke runs)")
 

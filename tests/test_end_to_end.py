@@ -206,3 +206,64 @@ def test_resume_from_snapshot(trained_run, toy_dataset, tmp_path_factory):
     w = np.asarray(state.g_params["synthesis"]["4x4"]["Conv"]["weight"])
     assert 0.0 < float(np.abs(w - snap_w).max()) < 0.2
     assert int(state.step) == 2
+
+
+def test_resume_from_full_checkpoint(trained_run, toy_dataset,
+                                     tmp_path_factory):
+    """Orbax full-state resume: Adam moments, Gs EMA, pl_mean and the IMLE
+    counters survive (unlike the reference's weight-only pkls, SURVEY.md §5
+    'Checkpoint / resume'); --resume-checkpoint accepts the run dir."""
+    from inclusivegan_tpu.utils.run_harness import SubmitConfig, submit_run
+
+    run_dir, prev_state = trained_run
+    assert glob.glob(os.path.join(run_dir, "checkpoints", "step_*"))
+
+    result_root = str(tmp_path_factory.mktemp("ckpt_resume"))
+    sc = SubmitConfig(run_dir_root=result_root, run_desc="ckptresume")
+    state = submit_run(
+        sc, "inclusivegan_tpu.training.training_loop.training_loop",
+        G_args=dict(fmap_base=256, fmap_max=32, latent_size=32,
+                    dlatent_size=32, mapping_layers=2, mapping_fmaps=32),
+        D_args=dict(fmap_base=256, fmap_max=32, mbstd_group_size=2),
+        G_loss_args=dict(NN_rec_lpips_weight=2.5),
+        D_loss_args=dict(gamma=10.0),
+        dataset_args=dict(tfrecord_dir=os.path.basename(toy_dataset),
+                          max_label_size="full"),
+        sched_args=dict(minibatch_size_base=MB, minibatch_gpu_base=MB // 8,
+                        tick_kimg_base=0.001),
+        data_dir=os.path.dirname(toy_dataset),
+        total_kimg=1, data_size=DATA_SIZE, num_epochs=1,
+        num_samples_factor=2, init_staleness=10, candidate_batch_size=32,
+        knn_perturb_factor=0.05, init_proj_dim=16, metric_arg_list=[],
+        minibatch_repeats=2, smoke_test_max_iters=1, seed=123,
+        resume_checkpoint=run_dir, save_full_checkpoints=False)
+
+    log = open(os.path.join(result_root, "00000-ckptresume",
+                            "log.txt")).read()
+    assert "Restoring full training state" in log
+
+    # compare against the checkpoint itself (the last checkpoint is written
+    # at a tick, which may precede the fixture's final returned state)
+    import jax
+    from inclusivegan_tpu.models import Discriminator, GMain
+    from inclusivegan_tpu.training.checkpoint import (latest_checkpoint,
+                                                      load_checkpoint)
+    from inclusivegan_tpu.training.train_state import create_train_state
+    G = GMain.create(resolution=RES, num_channels=3, latent_size=32,
+                     dlatent_size=32, fmap_base=256, fmap_max=32,
+                     mapping_layers=2, mapping_fmaps=32, label_size=4)
+    D = Discriminator(resolution=RES, num_channels=3, fmap_base=256,
+                      fmap_max=32, mbstd_group_size=2, label_size=4)
+    template = create_train_state(jax.random.key(0), G, D)
+    ck = latest_checkpoint(os.path.join(run_dir, "checkpoints"))
+    ck_state, imle_d = load_checkpoint(ck, template)
+    # Adam moment counter and step counter continue from the checkpoint
+    # (a fresh run would restart at 0). The one resumed iteration runs the
+    # G main phase AND the G path-reg phase (counter 0 → reg fires), and
+    # both bump the shared moment counter — the reference's share=G_opt
+    # semantics (training_loop.py:254-255).
+    assert int(ck_state.g_opt.count) > 0
+    assert int(state.g_opt.count) == int(ck_state.g_opt.count) + 2
+    assert int(state.step) == int(ck_state.step) + 1
+    # IMLE counters were checkpointed alongside
+    assert "staleness" in imle_d and int(imle_d["staleness"]) >= 10
