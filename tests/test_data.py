@@ -197,3 +197,41 @@ def test_create_celebahq_roundtrip(tmp_path):
     with pytest.raises(RuntimeError, match="md5 mismatch"):
         create_celebahq(str(tmp_path / "hq3"), str(celeba), str(delta_dir),
                         shuffle=False, strict=True, expected_images=n)
+
+
+def test_create_mnistrgb_semantics(tmp_path):
+    """Stacked-MNIST creator (reference dataset_tool.py:307-334): same
+    RandomState(123) draw sequence, RGB channels are the selected padded
+    digits, and the 1000-way label is d_R + 10·d_G + 100·d_B."""
+    import gzip
+    import struct
+
+    from inclusivegan_tpu.data.dataset_tool import create_mnistrgb
+
+    n_src, n_out = 40, 12
+    r = np.random.RandomState(7)
+    digits = r.randint(0, 256, (n_src, 28, 28), np.uint8)
+    dlabels = r.randint(0, 10, n_src).astype(np.uint8)
+    mdir = tmp_path / "mnist"
+    mdir.mkdir()
+    with gzip.open(mdir / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n_src, 28, 28) + digits.tobytes())
+    with gzip.open(mdir / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">II", 2049, n_src) + dlabels.tobytes())
+
+    out = str(tmp_path / "stacked")
+    create_mnistrgb(out, str(mdir), num_images=n_out)
+
+    ds = TFRecordDataset(out, max_label_size="full")
+    imgs = ds.get_all_images()
+    labels = ds.get_all_labels()
+    assert imgs.shape == (n_out, 3, 32, 32) and labels.shape == (n_out, 1000)
+
+    padded = np.pad(digits, [(0, 0), (2, 2), (2, 2)])
+    rnd = np.random.RandomState(123)  # the creator's documented seed
+    for i in range(n_out):
+        sel = rnd.randint(n_src, size=3)
+        np.testing.assert_array_equal(imgs[i], padded[sel])
+        mode = int(dlabels[sel[0]] + 10 * dlabels[sel[1]]
+                   + 100 * dlabels[sel[2]])
+        assert labels[i].argmax() == mode and labels[i].sum() == 1.0
