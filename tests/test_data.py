@@ -235,3 +235,45 @@ def test_create_mnistrgb_semantics(tmp_path):
         mode = int(dlabels[sel[0]] + 10 * dlabels[sel[1]]
                    + 100 * dlabels[sel[2]])
         assert labels[i].argmax() == mode and labels[i].sum() == 1.0
+
+
+def test_create_celeba_crop_and_attrs(tmp_path):
+    """CelebA creator (reference dataset_tool.py:447-486): 128×128 crop
+    centered at (cx,cy)=(89,121) and 40-dim binary attribute labels parsed
+    from list_attr_celeba.txt."""
+    from PIL import Image
+
+    from inclusivegan_tpu.data.dataset_tool import create_celeba
+
+    cdir = tmp_path / "celeba" / "img_align_celeba"
+    cdir.mkdir(parents=True)
+    (tmp_path / "celeba" / "Anno").mkdir()
+    r = np.random.RandomState(0)
+    srcs = []
+    names = []
+    for i in range(3):
+        arr = r.randint(0, 256, (218, 178, 3), np.uint8)
+        srcs.append(arr)
+        name = f"{i + 1:06d}.png"  # png: lossless, so crop check is exact
+        names.append(name.replace(".png", ".jpg"))
+        Image.fromarray(arr, "RGB").save(str(cdir / name))
+        os.rename(str(cdir / name), str(cdir / names[-1]))
+    attr_names = [f"attr{j}" for j in range(40)]
+    attrs = r.randint(0, 2, (3, 40))
+    with open(tmp_path / "celeba" / "Anno" / "list_attr_celeba.txt", "w") as f:
+        f.write("3\n" + " ".join(attr_names) + "\n")
+        for i, name in enumerate(names):
+            f.write(name + " " + " ".join("1" if v else "-1"
+                                          for v in attrs[i]) + "\n")
+
+    out = str(tmp_path / "ds")
+    create_celeba(out, str(tmp_path / "celeba"))
+    ds = TFRecordDataset(out, max_label_size="full")
+    imgs = ds.get_all_images()
+    labels = ds.get_all_labels()
+    assert imgs.shape == (3, 3, 128, 128) and labels.shape == (3, 40)
+    cx, cy = 89, 121
+    for i in range(3):
+        expected = srcs[i][cy - 64: cy + 64, cx - 64: cx + 64].transpose(2, 0, 1)
+        np.testing.assert_array_equal(imgs[i], expected)
+        np.testing.assert_array_equal(labels[i], attrs[i].astype(np.float32))
