@@ -320,6 +320,9 @@ def training_loop(
         mirror_augment=mirror_augment,
         drange_data=tuple(float(v) for v in training_set.dynamic_range),
         lazy_regularization=lazy_regularization,
+        # match the LPIPS trunk dtype to the networks' activation dtype
+        # (bf16 G/D + bf16 VGG is the measured TPU-native configuration)
+        lpips_dtype=G_args.get("dtype"),
         # the loop threads state linearly (state = train_step(state, ...)),
         # so each phase may write params/moments in place of its input
         donate_state=True)

@@ -34,10 +34,14 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         knn_perturb_factor, candidate_batch_size, exclusive_retrieved_code,
         NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
-        resume_checkpoint=None):
+        resume_checkpoint=None, dtype="float32"):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
+    if dtype != "float32":
+        # bf16 activations (fp32 params/optimizer/reductions) — the
+        # TPU-native training configuration (BENCH_NOTES.md)
+        G.dtype = D.dtype = dtype
     G_opt = EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8)
     D_opt = EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8)
     G_loss = EasyDict(NN_rec_lpips_weight=NN_rec_lpips_weight)
@@ -173,6 +177,9 @@ def main():
     parser.add_argument("--resume-pkl", default=None, type=str)
     parser.add_argument("--resume-checkpoint", default=None, type=str,
                         help="orbax full-state checkpoint (step dir, checkpoints/ dir, or run dir)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="activation dtype (bfloat16 = TPU-native; params/optimizer stay fp32)")
     parser.add_argument("--smoke-test-max-iters", default=None, type=int,
                         help="stop after N iterations (CI smoke runs)")
 
