@@ -124,7 +124,11 @@ class IMLEOrchestrator:
         if self.selected_latents is None:
             return True
         period = self.data_size * self.staleness
-        return cur_nimg // period != (cur_nimg - nimg_per_iter) // period
+        # clamp: early iterations have cur_nimg < nimg_per_iter, and a
+        # negative floor-division (-x // period == -1) would re-trigger a
+        # spurious second rebuild right after the initial one
+        prev = max(cur_nimg - nimg_per_iter, 0)
+        return cur_nimg // period != prev // period
 
     # ------------------------------------------------------------------
     def _features_from_images(self, images_01: np.ndarray) -> np.ndarray:

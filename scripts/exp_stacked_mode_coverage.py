@@ -35,6 +35,12 @@ def main():
     p.add_argument("--num-epochs", type=int, default=200)
     p.add_argument("--minibatch", type=int, default=32)
     p.add_argument("--num-samples-factor", type=int, default=10)
+    p.add_argument("--init-proj-dim", type=int, default=512,
+                   help="DCI random-projection dim (reference CLI knob; "
+                        "None-equivalent is 0 here meaning no projection). "
+                        "512 cuts the per-candidate device->host fetch 6x "
+                        "vs raw 3072-dim features on relay-attached TPUs")
+    p.add_argument("--candidate-batch-size", type=int, default=1024)
     p.add_argument("--smoke", type=int, default=0,
                    help="if >0, stop after this many iterations")
     args = p.parse_args()
@@ -82,11 +88,11 @@ def main():
         mirror_augment=False,
         data_size=args.data_size,
         num_epochs=args.num_epochs,
-        init_proj_dim=None,
+        init_proj_dim=args.init_proj_dim or None,
         init_staleness=10,
         num_samples_factor=args.num_samples_factor,
         knn_perturb_factor=0.05,
-        candidate_batch_size=256,
+        candidate_batch_size=args.candidate_batch_size,
         exclusive_retrieved_code=0,
         dist_thres_percentile=100.0,
         attr_interesting=None,

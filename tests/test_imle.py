@@ -87,6 +87,11 @@ def test_staleness_doubling_and_boundary():
     assert orch.staleness == 10
     period = DATA * 10
     assert not orch.needs_rebuild(8, 8)
+    # regression: cur_nimg < nimg_per_iter must NOT re-trigger (negative
+    # floor division used to make iteration 2 rebuild again, double-
+    # advancing the staleness schedule)
+    assert not orch.needs_rebuild(8, 16)
+    assert not orch.needs_rebuild(4, 64)
     assert orch.needs_rebuild(period, 8)  # crossing the boundary
     orch.rebuild(g, ds, verbose=False)
     assert orch.staleness == 20
