@@ -116,7 +116,7 @@ class IMLEOrchestrator:
         self.cursor = 0
         self._remainder = None  # carried (reals, labels, latents)
         self._rng = np.random.RandomState(seed + 1)
-        self.tick_rec_batch = None  # first rec batch of the epoch (snapshots)
+        self.tick_rec_batch = None  # latest rec batch (snapshot grids)
 
     # ------------------------------------------------------------------
     def needs_rebuild(self, cur_nimg: int, nimg_per_iter: int) -> bool:
@@ -304,8 +304,11 @@ class IMLEOrchestrator:
                            self._rng.randn(*latents.shape).astype(np.float32),
                            self.knn_perturb_factor)
 
-        if self.tick_rec_batch is None:
-            self.tick_rec_batch = (reals.copy(), labels.copy(), latents.copy())
+        # latest rec batch, rendered at image-snapshot ticks (the reference
+        # keeps tick_{reals,latents}_rec_double from the most recent
+        # iteration, training_loop.py:512-515 — NOT the first batch ever,
+        # whose latents come from the untrained-G retrieval)
+        self.tick_rec_batch = (reals.copy(), labels.copy(), latents.copy())
 
         # independent shuffles decouple the rec pairs for the interp loss
         order = np.arange(minibatch_size)

@@ -149,3 +149,18 @@ def test_exclusive_retrieved_code_increases_diversity():
         orch.rebuild(g, ds, verbose=False)
         results[exclusive] = len({tuple(v) for v in orch.selected_latents})
     assert results[True] > results[False], results
+
+
+def test_tick_rec_batch_tracks_latest_batch():
+    """Snapshot grids must show the MOST RECENT rec batch (reference keeps
+    tick_*_rec_double from the latest iteration, training_loop.py:512-515),
+    not the first batch ever — whose latents predate any training."""
+    orch = _orch()
+    g = _LinearG()
+    ds = _GeneratedDataset(g, orch.latent_candidates[:DATA])
+    orch.rebuild(g, ds, verbose=False)
+    orch.next_rec_batch(ds, 4)
+    first = orch.tick_rec_batch[0].copy()
+    orch.next_rec_batch(ds, 4)
+    second = orch.tick_rec_batch[0]
+    assert not np.array_equal(first, second)
