@@ -140,7 +140,9 @@ def create_mnistrgb(tfrecord_dir: str, mnist_dir: str,
         for idx in range(num_images):
             sel = rnd.randint(images.shape[0], size=3)
             tfr.add_image(images[sel])  # [3,32,32] = RGB stack
-            mode = int(labels[sel[0]] + 10 * labels[sel[1]] + 100 * labels[sel[2]])
+            # labels are uint8; promote BEFORE scaling or 100*d_B wraps mod 256
+            mode = (int(labels[sel[0]]) + 10 * int(labels[sel[1]])
+                    + 100 * int(labels[sel[2]]))
             out_labels[idx, mode] = 1.0
         tfr.add_labels(out_labels)
 

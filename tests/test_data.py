@@ -232,8 +232,10 @@ def test_create_mnistrgb_semantics(tmp_path):
     for i in range(n_out):
         sel = rnd.randint(n_src, size=3)
         np.testing.assert_array_equal(imgs[i], padded[sel])
-        mode = int(dlabels[sel[0]] + 10 * dlabels[sel[1]]
-                   + 100 * dlabels[sel[2]])
+        # plain-python arithmetic: a uint8 oracle would wrap mod 256 exactly
+        # like the bug this guards against (100*d_B for d_B>=3)
+        mode = (int(dlabels[sel[0]]) + 10 * int(dlabels[sel[1]])
+                + 100 * int(dlabels[sel[2]]))
         assert labels[i].argmax() == mode and labels[i].sum() == 1.0
 
 
