@@ -81,14 +81,22 @@ class GsSampler:
                                rng=rng,
                                truncation_psi=truncation_psi
                                if truncation_psi is not None else 1.0)
-            return jnp.clip((img + 1.0) * 127.5, 0, 255)
+            # quantize ON DEVICE (reference feeds metric nets uint8 images,
+            # tfutil.py:255-267): a uint8 fetch moves 4x less than float32
+            # over the device->host link, which dominates eval wall time on
+            # relay-attached TPUs (BENCH_NOTES.md)
+            return jnp.rint(jnp.clip((img + 1.0) * 127.5, 0, 255)
+                            ).astype(jnp.uint8)
 
         self._sample = sample
 
     def run(self, latents: np.ndarray) -> np.ndarray:
-        """latents [N,Z] → uint8-range float images [N,C,H,W] in [0,255]."""
+        """latents [N,Z] → uint8 images [N,C,H,W] in [0,255]."""
         outs = []
         bs = self.minibatch
+        # one-deep pipeline: dispatch batch i+1 before the blocking host
+        # fetch of batch i, so transfer overlaps the next G forward
+        pend = None
         for i in range(0, latents.shape[0], bs):
             z = latents[i:i + bs]
             pad = bs - z.shape[0]
@@ -99,14 +107,24 @@ class GsSampler:
             if self._z_sharding is not None:
                 z = jax.device_put(z, self._z_sharding)
             img = self._sample(self.gs_params, z, k)
-            outs.append(np.asarray(img)[:bs - pad if pad else bs])
+            if pend is not None:
+                outs.append(np.asarray(pend[0])[:pend[1]])
+            pend = (img, bs - pad if pad else bs)
+        if pend is not None:
+            outs.append(np.asarray(pend[0])[:pend[1]])
         return np.concatenate(outs)[:latents.shape[0]]
 
     def random_images(self, num: int, seed: int = 0) -> Iterator[np.ndarray]:
+        """Yields uint8 image chunks. Generation still runs in
+        ``minibatch``-sized jitted batches (same shapes, same numerics),
+        but many batches are dispatched per chunk so run()'s fetch pipeline
+        actually overlaps transfer with compute; the latent stream is one
+        contiguous RandomState draw either way."""
         rnd = np.random.RandomState(seed)
+        chunk = max(self.minibatch, 1024)
         done = 0
         while done < num:
-            take = min(self.minibatch, num - done)
+            take = min(chunk, num - done)
             yield self.run(rnd.randn(take, self.latent_size).astype(np.float32))
             done += take
 

@@ -116,6 +116,13 @@ class StackedMNISTClassifier:
     """RGB stacked-MNIST image → 1000-way mode id (per-channel digit CNN)."""
 
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+        if weights_path is None:
+            # fixed-path resolution like the reference's
+            # metrics/stacked_mnist_classifier.pkl (mode_counts.py:29)
+            weights_path = os.environ.get(
+                "INCLUSIVEGAN_TPU_MNIST_CLASSIFIER",
+                os.path.join("metrics_weights",
+                             "stacked_mnist_classifier.npz"))
         if weights_path and os.path.exists(weights_path):
             data = np.load(weights_path)
             self.params = {

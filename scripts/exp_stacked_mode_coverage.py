@@ -43,6 +43,14 @@ def main():
     p.add_argument("--candidate-batch-size", type=int, default=1024)
     p.add_argument("--smoke", type=int, default=0,
                    help="if >0, stop after this many iterations")
+    p.add_argument("--image-snapshot-ticks", type=int, default=5)
+    p.add_argument("--network-snapshot-ticks", type=int, default=10,
+                   help="snapshot+metric cadence; each event costs a pkl + "
+                        "orbax save + two 24k-sample metric evals, so coarsen "
+                        "for wall-clock-bounded runs")
+    p.add_argument("--resume-checkpoint", default=None,
+                   help="orbax step dir / checkpoints dir / run dir to "
+                        "resume full state from")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -96,8 +104,9 @@ def main():
         exclusive_retrieved_code=0,
         dist_thres_percentile=100.0,
         attr_interesting=None,
-        image_snapshot_ticks=5,
-        network_snapshot_ticks=10,
+        image_snapshot_ticks=args.image_snapshot_ticks,
+        network_snapshot_ticks=args.network_snapshot_ticks,
+        resume_checkpoint=args.resume_checkpoint,
         num_devices=1,
         smoke_test_max_iters=args.smoke or None,
         save_full_checkpoints=True,
