@@ -58,9 +58,10 @@ class FID(MetricBase):
                 pickle.dump((mu_real, sigma_real), f)
 
         # fakes
+        from .metric_base import apply_in_batches
         feats = []
         for imgs in sampler.random_images(self.num_images):
-            feats.append(feat_net(imgs))
+            feats.append(apply_in_batches(feat_net, imgs, self.minibatch))
         feats = np.concatenate(feats)
         mu_fake = np.mean(feats, axis=0)
         sigma_fake = np.cov(feats, rowvar=False)

@@ -36,9 +36,10 @@ class IS(MetricBase):
 
     def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
         classify = self.classifier or self._default_classifier()
+        from .metric_base import apply_in_batches
         probs = []
         for imgs in sampler.random_images(self.num_images):
-            probs.append(classify(imgs))
+            probs.append(apply_in_batches(classify, imgs, self.minibatch))
         probs = np.concatenate(probs)
 
         # split KL (reference :49-56)

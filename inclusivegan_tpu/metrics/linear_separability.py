@@ -63,6 +63,7 @@ class LS(MetricBase):
             raise RuntimeError(
                 "linear_separability needs an attribute classifier: pass "
                 "attribute_classifier=callable(images_255)->[N,40] probs "
+                "(images arrive as uint8 in [0,255]; cast before arithmetic) "
                 "(convert the reference's celebahq-classifier pickles, "
                 "linear_separability.py:25-64)")
         from sklearn import svm

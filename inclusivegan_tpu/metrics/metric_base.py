@@ -129,6 +129,19 @@ class GsSampler:
             done += take
 
 
+def apply_in_batches(fn, images: np.ndarray, minibatch: int) -> np.ndarray:
+    """Apply a jitted feature net in fixed ``minibatch``-sized slices.
+
+    random_images yields large transfer-friendly chunks; feature nets must
+    still see the metric's ``minibatch_per_gpu`` batch size — an InceptionV3
+    forward over a whole 1024-image chunk at 299×299 would allocate tens of
+    GB of activations."""
+    outs = []
+    for i in range(0, images.shape[0], minibatch):
+        outs.append(fn(images[i:i + minibatch]))
+    return np.concatenate(outs)
+
+
 class MetricBase:
     def __init__(self, name: str):
         self.name = name

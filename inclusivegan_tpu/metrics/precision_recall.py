@@ -95,9 +95,10 @@ class PR(MetricBase):
             done += imgs.shape[0]
         ref = np.concatenate(ref)
 
+        from .metric_base import apply_in_batches
         gen = []
         for imgs in sampler.random_images(n):
-            gen.append(feat_net(imgs))
+            gen.append(apply_in_batches(feat_net, imgs, self.minibatch))
         gen = np.concatenate(gen)
 
         state = knn_precision_recall_features(ref, gen, self.nhood_size)

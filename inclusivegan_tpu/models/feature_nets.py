@@ -131,6 +131,15 @@ class StackedMNISTClassifier:
                 for name in ("conv1", "conv2", "dense1", "dense2")}
             self.mode = "pretrained"
         else:
+            # the reference hard-fails on a missing classifier pkl
+            # (mode_counts.py:29); we degrade to random weights so smoke
+            # tests can run, but make the substitution impossible to miss —
+            # metric results also carry an `_untrained_classifier` suffix
+            import sys
+            print(f"WARNING: stacked-MNIST classifier weights not found at "
+                  f"{weights_path!r}; mode_counts/KL will use an UNTRAINED "
+                  f"classifier (train one with "
+                  f"scripts/train_mnist_classifier.py)", file=sys.stderr)
             self.params = init_mnist_classifier(seed=seed)
             self.mode = "random-init (train with scripts/train_mnist_classifier.py)"
         self._digits = jax.jit(self._digits_impl)
