@@ -103,3 +103,34 @@ def test_proj_vec_unit_norm():
     pv = dci.proj_vec
     assert pv.shape == (10, 32)
     np.testing.assert_allclose(np.linalg.norm(pv, axis=1), 1.0, rtol=1e-9)
+
+
+def test_jax_op_nn_search_in_jit():
+    """DciNnSearch (the reference tf_dci.cc CPU-op equivalent,
+    dci/jax_op.py): persistent locked index callable from inside a jitted
+    function via pure_callback, exact 1-NN on low-intrinsic-dim data."""
+    import jax
+    import jax.numpy as jnp
+
+    from inclusivegan_tpu.dci.jax_op import DciNnSearch
+
+    data = _low_intrinsic_data(200, 16, 3)
+    queries = _low_intrinsic_data(17, 16, 3, seed=7)
+    op = DciNnSearch(16, num_comp_indices=2, num_simp_indices=7,
+                     num_levels=1)
+    op.update_db(data)
+
+    @jax.jit
+    def go(q):
+        ids, dists = op.nn_search(q, num_neighbours=1, max_retrieve=200)
+        return ids[:, 0], dists[:, 0]
+
+    ids, dists = go(jnp.asarray(queries, jnp.float32))
+    want_ids, want_d = _brute_1nn(data, queries)
+    np.testing.assert_array_equal(np.asarray(ids), want_ids)
+    np.testing.assert_allclose(np.asarray(dists), want_d, rtol=1e-4)
+
+    # update_db rebuilds the persistent index (reference tf_dci.cc:72-93)
+    op.update_db(data[:50])
+    ids2, _ = go(jnp.asarray(data[:3], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(ids2), [0, 1, 2])

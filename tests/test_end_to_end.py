@@ -287,3 +287,47 @@ def test_resume_from_full_checkpoint(trained_run, toy_dataset,
     assert int(state.step) == int(ck_state.step) + 1
     # IMLE counters were checkpointed alongside
     assert "staleness" in imle_d and int(imle_d["staleness"]) >= 10
+
+
+def test_run_generator_cli_function(trained_run, tmp_path):
+    """run_generator.py generate-images inner function (reference
+    run_generator.py:19-37): per-batch noise re-randomization from
+    RandomState(0), truncation, %06d.png artifacts."""
+    import run_generator
+
+    run_dir, _ = trained_run
+    pkl = os.path.join(run_dir, "network-final.pkl")
+    sc = EasyDict(run_dir=str(tmp_path))
+    run_generator.generate_images(sc, pkl, num_images=3, minibatch_size=2,
+                                  truncation_psi=0.6)
+    import PIL.Image
+    files = sorted(glob.glob(os.path.join(str(tmp_path), "*.png")))
+    assert [os.path.basename(f) for f in files] == [
+        "000000.png", "000001.png", "000002.png"]
+    img = np.asarray(PIL.Image.open(files[0]))
+    assert img.shape == (RES, RES, 3) and img.dtype == np.uint8
+
+
+def test_run_projector_cli_function(trained_run, toy_dataset, tmp_path):
+    """run_projector.py project-real-images inner function (reference
+    run_projector.py:23-57): target/final/step snapshots + ivom.txt with
+    the mean/std LPIPS report."""
+    import run_projector
+
+    run_dir, _ = trained_run
+    pkl = os.path.join(run_dir, "network-final.pkl")
+    sc = EasyDict(run_dir=str(tmp_path))
+    mean, std = run_projector.project_real_images(
+        sc, pkl, os.path.basename(toy_dataset),
+        os.path.dirname(toy_dataset), num_images=2, num_steps=6,
+        minibatch_size=2, num_snapshots=2)
+    assert np.isfinite(mean) and np.isfinite(std)
+    for i in range(2):
+        assert os.path.isfile(
+            os.path.join(str(tmp_path), f"image{i:04d}-target.png"))
+        assert os.path.isfile(
+            os.path.join(str(tmp_path), f"image{i:04d}-final.png"))
+    with open(os.path.join(str(tmp_path), "ivom.txt")) as f:
+        parts = f.read().split()
+    assert float(parts[0]) == pytest.approx(mean, abs=1e-5)
+    assert int(parts[2]) == 2
