@@ -42,16 +42,29 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
-# Random-feature fallback calibration: with He-init convs + channel
-# normalization, distances between DISTINCT 32px dataset images measure
-# ~0.005 (mean, p10-p90 0.0044-0.0056) vs ~0.3 for converted zhang-VGG
-# weights on distinct natural images. Left uncalibrated, a reference-parity
-# NN_rec_lpips_weight of 2.5 makes the IMLE reconstruction term ~20× weaker
-# than the adversarial term and the GAN mode-collapses once D sharpens
-# (observed at ~700 kimg on stacked-MNIST; BENCH_NOTES.md). Folding the
-# scale into the uniform linear heads restores the reference's relative
-# loss magnitudes with unchanged semantics (d(x,x)=0, symmetry, ordering).
+# Random-feature calibration: with He-init convs + channel normalization,
+# distances between DISTINCT 32px dataset images measure ~0.005 (p10-p90
+# 0.0044-0.0056) vs ~0.3 for converted zhang-VGG weights on distinct
+# natural images. Folding the scale into the uniform linear heads keeps the
+# reference's relative loss magnitudes when this net is used as a workload
+# stand-in (bench.py, compile checks). NOTE random VGG features are NOT a
+# usable *training* metric on sparse imagery: they rank an all-black image
+# closer to a digit (0.0040) than another digit is (0.0051), so a strong
+# reconstruction weight drives G toward darkness, and a weak one lets the
+# GAN mode-collapse (both observed on stacked-MNIST; BENCH_NOTES.md).
+# Quality paths without converted weights use the pixel-pyramid fallback
+# below instead (get_lpips_params).
 _RANDOM_FEATURE_CALIBRATION = 60.0
+
+# Pixel-pyramid fallback (init_pixel_fallback_params): the original IMLE
+# distance — mean squared pixel error over a 5-level average-pool pyramid
+# in the [-1,1] domain. Unlike random features it has a unique minimum at
+# the target and no dark/flat cheap region; per-scale weights are uniform.
+# Measured on distinct 32px dataset images: 0.22 mean (p10-p90 0.19-0.28)
+# — already the converted-LPIPS scale — with an all-black image FARTHER
+# from a digit (0.29) than digits are from each other.
+_PIXEL_SCALES = 5
+_PIXEL_CALIBRATION = 1.0  # divided by scale count in the lin heads
 
 
 def init_lpips_params(rng=None, seed: int = 0) -> Dict[str, Any]:
@@ -75,6 +88,17 @@ def init_lpips_params(rng=None, seed: int = 0) -> Dict[str, Any]:
     return params
 
 
+def init_pixel_fallback_params() -> Dict[str, Any]:
+    """Multi-scale pixel-MSE params (no conv leaves — lpips_features detects
+    this structurally). Taps reuse the _TAPS names so the distance head and
+    every consumer (loss batching, PPL, projector) work unchanged."""
+    params: Dict[str, Any] = {"_mode": np.array(2)}
+    for tap in _TAPS[:_PIXEL_SCALES]:
+        params[f"lin_{tap}"] = jnp.full(
+            (3,), _PIXEL_CALIBRATION / _PIXEL_SCALES, jnp.float32)
+    return params
+
+
 def load_lpips_params(path: str) -> Dict[str, Any]:
     """Load converted weights: npz with keys '<conv>_w', '<conv>_b',
     'lin_<tap>'."""
@@ -89,9 +113,13 @@ def load_lpips_params(path: str) -> Dict[str, Any]:
 
 
 def get_lpips_params(weights_path: Optional[str] = None, seed: int = 0):
+    """Converted zhang-VGG weights when available; otherwise the
+    pixel-pyramid fallback — the quality-safe no-egress metric (random VGG
+    features are kept only as a workload stand-in, see calibration note)."""
     if weights_path and os.path.exists(weights_path):
         return load_lpips_params(weights_path)
-    return init_lpips_params(seed=seed)
+    del seed
+    return init_pixel_fallback_params()
 
 
 def _vgg_features(params, x) -> List[jnp.ndarray]:
@@ -125,14 +153,33 @@ def _preprocess(img_255):
     return (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
 
 
-def lpips_features(params, img_255, dtype=jnp.float32):
-    """[N,C,H,W] in [0,255] → list of channel-normalized tap activations.
+def _pixel_pyramid(x) -> List[jnp.ndarray]:
+    """[-1,1] images → [x, avgpool2(x), avgpool4(x), ...] raw (no channel
+    normalization — the pixel metric's gradient must keep its unique
+    minimum at the target)."""
+    feats = [x]
+    for _ in range(_PIXEL_SCALES - 1):
+        x = lax.reduce_window(x, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
+                              "VALID") * 0.25
+        feats.append(x)
+    return feats
 
+
+def lpips_features(params, img_255, dtype=jnp.float32):
+    """[N,C,H,W] in [0,255] → list of tap feature maps.
+
+    VGG modes: channel-normalized conv tap activations. Pixel-fallback mode
+    (no conv leaves in ``params``): a raw average-pool pyramid.
     ``dtype`` selects the VGG conv compute precision — bfloat16 runs the
     trunk on the MXU at ~2× with the channel-normalization and reductions
     kept in float32 (measured bf16-vs-f32 distance deviation ~1e-5).
     Exposed so callers can embed MANY images in one batched VGG call and
     form several distance pairs from slices (training/loss.g_main_loss)."""
+    if "conv1_1" not in params:  # pixel-pyramid fallback (trace-static)
+        x = img_255.astype(jnp.float32) / 127.5 - 1.0
+        if x.shape[1] != 3:
+            x = jnp.tile(jnp.mean(x, axis=1, keepdims=True), (1, 3, 1, 1))
+        return _pixel_pyramid(x)
     feats = _vgg_features(params, _preprocess(img_255).astype(dtype))
     return [_normalize_channels(f.astype(jnp.float32)) for f in feats]
 
