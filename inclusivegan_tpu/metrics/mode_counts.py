@@ -17,12 +17,17 @@ class ModeCounts(MetricBase):
         self.classifier_weights = classifier_weights
 
     def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
+        from .KL import kl_to_uniform
         clf = StackedMNISTClassifier(self.classifier_weights)
         modes = []
         for imgs in sampler.random_images(self.num_images):
             modes.append(clf.modes(imgs))
         modes = np.concatenate(modes)
         self._report_result(float(len(np.unique(modes))), fmt="-6.0f")
+        # KL(modes ‖ uniform) from the SAME 24k sampling pass — the separate
+        # KL24k metric re-samples (reference KL.py:44-52); on relay-attached
+        # TPUs one pass costs ~2 min, so surface both numbers here too.
+        self._report_result(kl_to_uniform(modes), suffix="_KL")
         if clf.mode != "pretrained":
             self._report_result(1.0, suffix="_untrained_classifier", fmt="-1.0f")
 

@@ -63,7 +63,10 @@ def main():
 
     metrics = []
     from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
-    for name in ("mode_counts_24k", "KL24k"):
+    # mode_counts_24k reports the KL from the same 24k sampling pass
+    # (mode_counts.py), so the separate KL24k metric would only double the
+    # ~2-min relay-bound eval per snapshot.
+    for name in ("mode_counts_24k",):
         m = EasyDict(metric_defaults[name])
         m.classifier_weights = args.classifier
         metrics.append(m)
