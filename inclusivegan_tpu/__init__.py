@@ -19,6 +19,23 @@ Layer map (mirrors SURVEY.md §1):
   utils/     -- EasyDict, dotted-name registry, run harness, stats collector
 """
 
+import os as _os
+
+# Large-allocation first-writes run ~230x slower than memcpy speed on this
+# class of VM (firecracker, THP=madvise): numpy madvise(HUGEPAGE)s big
+# buffers and every first-touch then stalls behind khugepaged (measured
+# 254 s vs 1.1 s for a 750 MB copy). Host-side IMLE buffers, dataset loads
+# and candidate pools are all such allocations, so switch it off for this
+# process and for any children.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:
+    import numpy as _np  # noqa: F401
+    from numpy._core import multiarray as _ma  # np>=2
+except ImportError:  # pragma: no cover - older numpy
+    from numpy.core import multiarray as _ma  # type: ignore
+if hasattr(_ma, "_set_madvise_hugepage"):
+    _ma._set_madvise_hugepage(False)
+
 from .utils.easydict import EasyDict  # noqa: F401
 from .utils import registry  # noqa: F401
 

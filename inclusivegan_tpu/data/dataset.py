@@ -23,6 +23,11 @@ import numpy as np
 
 from . import tfrecord
 
+# decoded-shard cache shared by concurrently-open streams (weak: freed once
+# no dataset holds the array)
+import weakref
+_IMAGE_CACHE: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+
 
 class TFRecordDataset:
     def __init__(self, tfrecord_dir: str, resolution: Optional[int] = None,
@@ -49,13 +54,18 @@ class TFRecordDataset:
         assert self.resolution in by_res, (self.resolution, list(by_res))
         self._tfr_file = by_res[self.resolution]
 
-        # load images
-        images = []
-        for payload in tfrecord.read_records(self._tfr_file):
-            images.append(tfrecord.decode_image_example(payload))
-            if max_images is not None and len(images) >= max_images:
-                break
-        self._images = np.stack(images) if in_memory else None
+        # load images — bulk-decoded, and shared across streams: the loop
+        # opens train + rec streams over the same shard (reference
+        # training_loop.py:169-170), so cache the decoded array by file
+        key = (os.path.abspath(self._tfr_file), max_images)
+        cached = _IMAGE_CACHE.get(key)
+        if cached is None:
+            cached = tfrecord.load_image_records(self._tfr_file,
+                                                 max_images=max_images)
+            cached.flags.writeable = False  # shared across streams
+            _IMAGE_CACHE[key] = cached
+        images = cached
+        self._images = images if in_memory else None
         self.shape = list(images[0].shape)  # [C,H,W]
         self.dtype = "uint8"
         self.dynamic_range = [0, 255]

@@ -238,3 +238,58 @@ def decode_image_example(payload: bytes) -> np.ndarray:
     ex = decode_example(payload)
     shape = tuple(int(v) for v in ex["shape"])
     return np.frombuffer(ex["data"], np.uint8).reshape(shape)
+
+
+def load_image_records(path: str, max_images: int = None) -> np.ndarray:
+    """Decode a whole image-example shard into one [N,C,H,W] uint8 array.
+
+    Fast path for the fixed-shape shards the exporter (and the reference's
+    dataset_tool.py:76-85) writes: every record then has byte-identical
+    framing and Example skeleton, differing only in the 'data' payload, so
+    after decoding record 0 the rest is a single strided gather instead of
+    240k python protobuf parses (~100x faster at stacked-MNIST scale).
+    Falls back to per-record decode for ragged shards.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 12:
+        return np.zeros((0,), np.uint8)
+    (plen0,) = struct.unpack_from("<Q", buf, 0)
+    first = decode_image_example(buf[12:12 + plen0])
+    stride = 8 + 4 + plen0 + 4
+    n_total = len(buf) // stride
+    uniform = len(buf) % stride == 0
+    if uniform:
+        # all record headers must announce the same payload length
+        lens = np.frombuffer(buf, "<u8")[::stride // 8] if stride % 8 == 0 \
+            else np.array([struct.unpack_from("<Q", buf, i * stride)[0]
+                           for i in range(n_total)], np.uint64)
+        uniform = bool((lens[:n_total] == plen0).all())
+    if not uniform:
+        images = []
+        for payload in read_records(path):
+            images.append(decode_image_example(payload))
+            if max_images is not None and len(images) >= max_images:
+                break
+        return np.stack(images)
+    n = n_total if max_images is None else min(max_images, n_total)
+    # locate the raw image bytes inside the first payload: they are the
+    # unique contiguous run equal to first.tobytes()
+    data_off = buf.find(first.tobytes(), 12, 12 + plen0)
+    assert data_off >= 0
+    flat = np.frombuffer(buf, np.uint8)
+    view = np.lib.stride_tricks.as_strided(
+        flat[data_off:], shape=(n, first.size), strides=(stride, 1))
+    out = np.ascontiguousarray(view).reshape((n,) + first.shape)
+    # cross-check one non-first record against the slow decoder: catches the
+    # (degenerate) case where `find` latched onto a false match inside the
+    # protobuf skeleton
+    if n > 1:
+        k = n - 1
+        check = decode_image_example(
+            bytes(buf[k * stride + 12:k * stride + 12 + plen0]))
+        if check.shape != first.shape or not np.array_equal(out[k], check):
+            images = [decode_image_example(p)
+                      for i, p in zip(range(n), read_records(path))]
+            return np.stack(images)
+    return out
