@@ -119,13 +119,16 @@ class GsSampler:
         ``minibatch``-sized jitted batches (same shapes, same numerics),
         but many batches are dispatched per chunk so run()'s fetch pipeline
         actually overlaps transfer with compute; the latent stream is one
-        contiguous RandomState draw either way."""
-        rnd = np.random.RandomState(seed)
+        contiguous seeded PCG64 draw either way (legacy RandomState.randn
+        runs at ~0.3M values/s on this vCPU class — ~40 s of the old
+        115 s/24k-sample eval was latent generation)."""
+        rnd = np.random.Generator(np.random.PCG64(seed))
         chunk = max(self.minibatch, 1024)
         done = 0
         while done < num:
             take = min(chunk, num - done)
-            yield self.run(rnd.randn(take, self.latent_size).astype(np.float32))
+            yield self.run(rnd.standard_normal((take, self.latent_size),
+                                               dtype=np.float32))
             done += take
 
 

@@ -328,8 +328,8 @@ def training_loop(
         donate_state=True)
     train_step = make_train_step(G, D, lpips_params, mesh, cfg)
 
-    grid_latents = np.random.randn(int(np.prod(grid_size)),
-                                   G.mapping.latent_size).astype(np.float32)
+    grid_latents = np.random.default_rng().standard_normal(
+        (int(np.prod(grid_size)), G.mapping.latent_size), dtype=np.float32)
 
     print(f"Training for {total_kimg} kimg...\n")
     cur_nimg = int(resume_kimg * 1000)

@@ -169,7 +169,7 @@ def test_gs_sampler_sharded_matches_single_device(trained_run):
 
 
 def test_gs_sampler_random_images_chunking(trained_run):
-    """random_images draws one contiguous RandomState latent stream and
+    """random_images draws one contiguous seeded latent stream and
     generates in fixed minibatch-sized jitted batches regardless of chunk
     partitioning, so the concatenated yield equals a direct run() of the
     same stream."""
@@ -180,8 +180,8 @@ def test_gs_sampler_random_images_chunking(trained_run):
     s = GsSampler(pkl, minibatch_size=8, seed=3)
     got = np.concatenate(list(s.random_images(n, seed=5)))
     s2 = GsSampler(pkl, minibatch_size=8, seed=3)
-    want = s2.run(np.random.RandomState(5).randn(n, s2.latent_size)
-                  .astype(np.float32))
+    want = s2.run(np.random.Generator(np.random.PCG64(5))
+                  .standard_normal((n, s2.latent_size), dtype=np.float32))
     np.testing.assert_array_equal(got, want)
 
 
