@@ -23,6 +23,7 @@ TPU-native redesign (the reference blocks training for minutes here):
     native call instead of a python loop of minibatch queries.
 """
 
+import functools
 import math
 import os
 from typing import Callable, Optional, Tuple
@@ -33,6 +34,77 @@ import numpy as np
 
 from ..dci import DCI
 from ..utils.misc import adjust_dynamic_range, slerp_np
+
+# ---------------------------------------------------------------------------
+# Exact device-side kNN (the default retrieval backend).
+#
+# The reference approximates 1-NN with host-side Prioritized DCI because on
+# CPU/GPU-2017 the exact problem was too big. On TPU the exact search IS the
+# cheap option: 240k queries x 2.4M candidates x 128-dim features is one
+# ~74 TFLOP chunked matmul (~seconds at MXU rates), and keeping the
+# candidate features in HBM means only [nq, k] ids+dists ever cross the
+# device->host link (the scarce resource on relay-attached hosts — see
+# BENCH_NOTES.md). The DCI library remains as the fallback backend for
+# feature sets that don't fit the HBM budget and for reference parity.
+# ---------------------------------------------------------------------------
+
+_KNN_CAND_CHUNK = 65536     # scores buffer = QUERY_CHUNK x CAND_CHUNK f32
+_KNN_QUERY_CHUNK = 8192
+_EXACT_KNN_HBM_BUDGET = 4 << 30  # candidate-feature bytes
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_topk(qfeats, cand3, cnorm3, base3, k):
+    """Running top-k smallest L2 over candidate chunks.
+
+    qfeats [Q,D] f32; cand3 [S,C,D]; cnorm3 [S,C] squared norms (+inf on
+    padding); base3 [S] global index base of each chunk. Returns
+    (dists [Q,k] Euclidean, ids [Q,k] int32).
+    """
+
+    def step(carry, xs):
+        bd, bi = carry
+        c, cn, base = xs
+        # ||c||^2 - 2 q.c ranks identically to the true squared distance
+        scores = cn[None, :] - 2.0 * jnp.dot(
+            qfeats, c.T, precision=jax.lax.Precision.HIGHEST)
+        if k == 1:
+            d = jnp.min(scores, axis=1, keepdims=True)
+            i = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None] + base
+        else:
+            negd, i = jax.lax.top_k(-scores, k)
+            d, i = -negd, i.astype(jnp.int32) + base
+        alld = jnp.concatenate([bd, d], axis=1)
+        alli = jnp.concatenate([bi, i], axis=1)
+        negd, sel = jax.lax.top_k(-alld, k)
+        return (-negd, jnp.take_along_axis(alli, sel, axis=1)), None
+
+    q_count = qfeats.shape[0]
+    init = (jnp.full((q_count, k), jnp.inf, jnp.float32),
+            jnp.zeros((q_count, k), jnp.int32))
+    (bd, bi), _ = jax.lax.scan(step, init, (cand3, cnorm3, base3))
+    qnorm = jnp.sum(qfeats * qfeats, axis=1, keepdims=True)
+    dists = jnp.sqrt(jnp.maximum(bd + qnorm, 0.0))
+    return dists, bi
+
+
+@jax.jit
+def _featurize_dev(x, scale, bias, projector):
+    """uint8/float images -> drange_net -> flat (@ projector) on device."""
+    x = x.astype(jnp.float32) * scale + bias
+    flat = x.reshape(x.shape[0], -1)
+    if projector is None:
+        return flat
+    return jnp.dot(flat, projector, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _flatten_project_dev(img, projector):
+    """Images already in drange_net (G output) -> features, on device."""
+    flat = img.astype(jnp.float32).reshape(img.shape[0], -1)
+    if projector is None:
+        return flat
+    return jnp.dot(flat, projector, precision=jax.lax.Precision.HIGHEST)
 
 
 def func_proj_dim(init_proj_dim: Optional[int], data_size: int,
@@ -78,7 +150,8 @@ class IMLEOrchestrator:
                  num_comp_indices: int = 3, num_simp_indices: int = 15,
                  num_levels: int = 2, seed: int = 0,
                  drange_data=(0, 255), drange_net=(-1, 1),
-                 projector_cache_dir: str = "."):
+                 projector_cache_dir: str = ".",
+                 knn_backend: str = "auto"):
         self.data_size = data_size
         self.num_samples_factor = num_samples_factor
         self.latent_size = latent_size
@@ -94,6 +167,8 @@ class IMLEOrchestrator:
         self.num_levels = num_levels
         self.drange_data = tuple(drange_data)
         self.drange_net = tuple(drange_net)
+        assert knn_backend in ("auto", "exact", "dci"), knn_backend
+        self.knn_backend = knn_backend
 
         self.proj_dim = func_proj_dim(init_proj_dim, data_size,
                                       num_samples_factor, image_dim)
@@ -176,6 +251,14 @@ class IMLEOrchestrator:
             self.staleness *= 2  # doubling (reference :354-356)
 
         n = self.data_size * self.num_samples_factor
+        use_exact = (self.knn_backend == "exact"
+                     or (self.knn_backend == "auto"
+                         and n * self.proj_dim * 4 <= _EXACT_KNN_HBM_BUDGET))
+        if use_exact:
+            self._rebuild_exact(generate_images, rec_dataset, verbose,
+                                generate_features)
+            return
+
         feats = np.empty((n, self.proj_dim), np.float64)
         bs = self.candidate_batch_size
 
@@ -248,6 +331,108 @@ class IMLEOrchestrator:
                                         self.dist_thres_percentile)
         if verbose:
             print(f"DCI retrieval done: mean 1-NN dist "
+                  f"{nearest_dists.mean():.4f}, staleness now "
+                  f"{self.staleness}")
+
+    # ------------------------------------------------------------------
+    def _rebuild_exact(self, generate_images, rec_dataset, verbose,
+                       generate_features):
+        """Exact retrieval, entirely on device (see module header): candidate
+        features stay in HBM, 1-NN (or top-k for exclusive mode) is a chunked
+        matmul + running-min scan, and only [nq, k] ids/dists are fetched."""
+        n = self.data_size * self.num_samples_factor
+        bs = self.candidate_batch_size
+        projector_dev = (jnp.asarray(self.projector, jnp.float32)
+                         if self.projector is not None else None)
+
+        # two-level grouped concat keeps every concatenate ≤64 operands
+        # (a single 1000+-operand op would bloat the XLA graph)
+        groups, pending = [], []
+
+        def _flush():
+            if pending:
+                groups.append(pending[0] if len(pending) == 1
+                              else jnp.concatenate(pending, axis=0))
+                pending.clear()
+
+        for i in range(0, n, bs):
+            if verbose and (i // bs) % 16 == 0:
+                print(f"\rCandidates sampling {i}/{n}...", end="", flush=True)
+            z = self.latent_candidates[i:i + bs]
+            if generate_features is not None:
+                pending.append(generate_features(z))
+            else:
+                pending.append(_flatten_project_dev(generate_images(z),
+                                                    projector_dev))
+            if len(pending) == 64:
+                _flush()
+        _flush()
+        cand = (groups[0] if len(groups) == 1
+                else jnp.concatenate(groups, axis=0))
+        cand = cand[:n].astype(jnp.float32)
+        del groups
+        if verbose:
+            print("\rExact kNN (device)...                  ")
+
+        # pad candidates into [S, CAND_CHUNK, D] chunks; +inf norms mask pads
+        cc = min(_KNN_CAND_CHUNK, n)
+        s = (n + cc - 1) // cc
+        pad = s * cc - n
+        cnorm = jnp.sum(cand * cand, axis=1)
+        if pad:
+            cand = jnp.concatenate(
+                [cand, jnp.zeros((pad, cand.shape[1]), jnp.float32)])
+            cnorm = jnp.concatenate([cnorm, jnp.full((pad,), jnp.inf)])
+        cand3 = cand.reshape(s, cc, cand.shape[1])
+        cnorm3 = cnorm.reshape(s, cc)
+        base3 = jnp.arange(s, dtype=jnp.int32) * cc
+
+        reals = rec_dataset.get_all_images()[:self.data_size]
+        nq = reals.shape[0]
+        k = (self.num_samples_factor if self.exclusive_retrieved_code else 1)
+        scale = np.float32(
+            (self.drange_net[1] - self.drange_net[0])
+            / (self.drange_data[1] - self.drange_data[0]))
+        bias = np.float32(self.drange_net[0] - self.drange_data[0] * scale)
+
+        qc = _KNN_QUERY_CHUNK
+        ids = np.empty((nq, k), np.int64)
+        dists = np.empty((nq, k), np.float64)
+        for j in range(0, nq, qc):
+            r = reals[j:j + qc]
+            if r.shape[0] < qc:  # pad to the jitted shape
+                padq = np.zeros((qc - r.shape[0],) + r.shape[1:], r.dtype)
+                r = np.concatenate([r, padq])
+            qf = _featurize_dev(jnp.asarray(r), scale, bias, projector_dev)
+            d, i = _knn_topk(qf, cand3, cnorm3, base3, k)
+            take = min(qc, nq - j)
+            ids[j:j + take] = np.asarray(i[:take], np.int64)
+            dists[j:j + take] = np.asarray(d[:take], np.float64)
+
+        if self.exclusive_retrieved_code:
+            used = set()
+            sel_ids, sel_dists = [], []
+            for row_ids, row_dists in zip(ids, dists):
+                pick = 0
+                for jj, cand_id in enumerate(row_ids):
+                    if cand_id not in used:
+                        pick = jj
+                        break
+                used.add(row_ids[pick])
+                sel_ids.append(row_ids[pick])
+                sel_dists.append(row_dists[pick])
+            nearest_ids = np.array(sel_ids)
+            nearest_dists = np.array(sel_dists)
+        else:
+            nearest_ids = ids[:, 0]
+            nearest_dists = dists[:, 0]
+
+        self.selected_latents = self.latent_candidates[nearest_ids]
+        self.selected_dists = nearest_dists
+        self.dist_thres = np.percentile(nearest_dists,
+                                        self.dist_thres_percentile)
+        if verbose:
+            print(f"Exact retrieval done: mean 1-NN dist "
                   f"{nearest_dists.mean():.4f}, staleness now "
                   f"{self.staleness}")
 

@@ -135,6 +135,7 @@ def training_loop(
     init_staleness: int = 10,
     num_samples_factor: int = 25,
     knn_perturb_factor: float = 0.1,
+    knn_backend: str = "auto",
     candidate_batch_size: int = 256,
     exclusive_retrieved_code: int = 0,
     dist_thres_percentile: float = 100.0,
@@ -233,7 +234,7 @@ def training_loop(
         data_size=data_size, num_samples_factor=num_samples_factor,
         latent_size=G.mapping.latent_size, image_dim=image_dim,
         init_proj_dim=init_proj_dim, init_staleness=init_staleness,
-        knn_perturb_factor=knn_perturb_factor,
+        knn_perturb_factor=knn_perturb_factor, knn_backend=knn_backend,
         candidate_batch_size=candidate_batch_size,
         exclusive_retrieved_code=bool(exclusive_retrieved_code),
         dist_thres_percentile=dist_thres_percentile,

@@ -34,7 +34,7 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         knn_perturb_factor, candidate_batch_size, exclusive_retrieved_code,
         NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
-        resume_checkpoint=None, dtype="float32"):
+        resume_checkpoint=None, dtype="float32", knn_backend="auto"):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -67,7 +67,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
                  candidate_batch_size=candidate_batch_size,
                  exclusive_retrieved_code=exclusive_retrieved_code,
                  dist_thres_percentile=dist_thres_percentile,
-                 attr_interesting=attr_interesting)
+                 attr_interesting=attr_interesting,
+                 knn_backend=knn_backend)
     if smoke_test_max_iters:
         train.smoke_test_max_iters = smoke_test_max_iters
 
@@ -167,6 +168,12 @@ def main():
     parser.add_argument("--num-samples-factor", metavar="N", default=10,
                         type=int)
     parser.add_argument("--knn-perturb-factor", default=0.05, type=float)
+    parser.add_argument("--knn-backend", default="auto",
+                        choices=("auto", "exact", "dci"),
+                        help="IMLE NN retrieval: exact on-device kNN "
+                             "(TPU matmuls; default when the candidate "
+                             "features fit HBM) or the host-side "
+                             "Prioritized-DCI library")
     parser.add_argument("--candidate-batch-size", metavar="N", default=256,
                         type=int)
     parser.add_argument("--exclusive-retrieved-code", metavar="N", default=0,

@@ -164,3 +164,36 @@ def test_tick_rec_batch_tracks_latest_batch():
     orch.next_rec_batch(ds, 4)
     second = orch.tick_rec_batch[0]
     assert not np.array_equal(first, second)
+
+
+def test_knn_backend_exact_matches_or_beats_dci():
+    """The exact on-device backend must retrieve candidates at least as
+    close as the approximate Prioritized-DCI backend, and both must agree
+    with host brute force on the unambiguous cases."""
+    g = _LinearG()
+    real_latents = np.random.RandomState(7).randn(DATA, ZDIM)
+    ds = _GeneratedDataset(g, real_latents)
+
+    def run(backend):
+        orch = _orch(knn_backend=backend)
+        orch.rebuild(g, ds, verbose=False)
+        return orch.selected_latents.copy(), orch.selected_dists.copy()
+
+    lat_exact, d_exact = run("exact")
+    lat_dci, d_dci = run("dci")
+    assert lat_exact.shape == lat_dci.shape == (DATA, ZDIM)
+    # exact never returns a farther neighbour than the approximation
+    assert (d_exact <= d_dci + 1e-4).all()
+
+    # host brute force oracle on the exact backend
+    orch = _orch(knn_backend="exact")
+    cand_imgs = g(orch.latent_candidates)
+    cand_flat = cand_imgs.reshape(len(cand_imgs), -1).astype(np.float64)
+    reals_flat = ((ds.get_all_images().astype(np.float64) / 127.5) - 1.0
+                  ).reshape(DATA, -1)
+    bf_ids = np.argmin(
+        ((reals_flat[:, None, :] - cand_flat[None, :, :]) ** 2).sum(-1),
+        axis=1)
+    orch.rebuild(g, ds, verbose=False)
+    np.testing.assert_allclose(orch.selected_latents,
+                               orch.latent_candidates[bf_ids], atol=1e-6)
