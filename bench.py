@@ -30,7 +30,52 @@ enable_compilation_cache()
 BASELINE_IMGS_PER_SEC = 50.0  # estimated 2×V100 reference rate (see above)
 
 
+def _yield_chip(timeout_sec: float = 1800.0) -> None:
+    """Cooperatively stop any live training run before benchmarking.
+
+    The axon backend serves ONE jax client at a time — a benchmark started
+    while a training process holds the chip queues forever behind it
+    (BENCH_NOTES.md). Training loops poll <run_dir>/abort.txt every
+    iteration and exit cleanly (checkpoint + _finished.txt), so drop the
+    sentinel into every unfinished run dir and wait for the trainer
+    processes to exit.
+    """
+    import glob
+    import os
+    import subprocess
+
+    for run_txt in glob.glob("results/*/run.txt"):
+        run_dir = os.path.dirname(run_txt)
+        if not os.path.exists(os.path.join(run_dir, "_finished.txt")):
+            try:
+                with open(os.path.join(run_dir, "abort.txt"), "w") as f:
+                    f.write("bench.py requesting the chip\n")
+            except OSError:
+                pass
+
+    def trainers():
+        try:
+            out = subprocess.run(["ps", "-eo", "pid=,args="], check=True,
+                                 capture_output=True, text=True).stdout
+        except Exception:
+            return []
+        me = os.getpid()
+        return [line for line in out.splitlines()
+                if ("run_training.py" in line
+                    or "exp_stacked_mode_coverage" in line)
+                and "python" in line and not line.strip().startswith(str(me))]
+
+    t0 = time.time()
+    while trainers():
+        if time.time() - t0 > timeout_sec:
+            print("# warning: training process still holds the chip after "
+                  f"{timeout_sec:.0f}s; benchmark may queue behind it")
+            break
+        time.sleep(5.0)
+
+
 def main():
+    _yield_chip()
     import jax
     import jax.numpy as jnp
     from inclusivegan_tpu.models import Discriminator, GMain

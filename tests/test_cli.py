@@ -74,3 +74,23 @@ def test_config_f_keeps_big_fmaps(monkeypatch, tmp_path):
         attr_interesting=None, init_mul=1.0)
     assert "fmap_base" not in captured["G_args"]  # config-f default 16<<10
     assert captured["D_loss_args"]["gamma"] == 12.5  # --gamma override
+
+
+def test_bench_yield_chip_drops_abort_sentinels(monkeypatch, tmp_path):
+    """bench.py must cooperatively stop live runs before benchmarking (the
+    axon backend serves one jax client at a time): abort.txt lands in every
+    unfinished run dir, finished dirs are left alone."""
+    import bench
+
+    live = tmp_path / "results" / "00000-live"
+    done = tmp_path / "results" / "00001-done"
+    for d in (live, done):
+        d.mkdir(parents=True)
+        (d / "run.txt").write_text("x")
+    (done / "_finished.txt").write_text("ok")
+    monkeypatch.chdir(tmp_path)
+    # timeout 0: even if a real trainer happens to be alive on this box,
+    # return immediately after dropping the sentinels
+    bench._yield_chip(timeout_sec=0.0)
+    assert (live / "abort.txt").exists()
+    assert not (done / "abort.txt").exists()
