@@ -129,6 +129,9 @@ def training_loop(
     resume_pkl: Optional[str] = None,
     resume_checkpoint: Optional[str] = None,  # orbax full state (step dir,
     # a checkpoints/ dir, or a run dir containing checkpoints/)
+    resume_staleness: Optional[int] = None,  # override the restored IMLE
+    # staleness on resume (reference has no full-state resume; this keeps
+    # re-retrieval cadence a free knob when continuing a run)
     data_size: int = 3000,
     num_epochs: int = 10000,
     init_proj_dim: Optional[int] = None,
@@ -244,6 +247,10 @@ def training_loop(
     if imle_restore:
         imle.cursor = int(imle_restore.get("cursor", imle.cursor))
         imle.staleness = int(imle_restore.get("staleness", imle.staleness))
+    if resume_staleness is not None and resume_checkpoint is not None:
+        print(f"IMLE staleness override on resume: {imle.staleness} -> "
+              f"{resume_staleness}")
+        imle.staleness = int(resume_staleness)
 
     # jitted eval-mode G for candidate generation / snapshots
     @jax.jit

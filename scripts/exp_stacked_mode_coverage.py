@@ -51,6 +51,15 @@ def main():
     p.add_argument("--resume-checkpoint", default=None,
                    help="orbax step dir / checkpoints dir / run dir to "
                         "resume full state from")
+    p.add_argument("--resume-staleness", type=int, default=None,
+                   help="override restored IMLE staleness on resume "
+                        "(smaller = more frequent re-anchoring retrievals)")
+    p.add_argument("--g-lrate", type=float, default=0.002)
+    p.add_argument("--d-lrate", type=float, default=0.002)
+    p.add_argument("--gamma", type=float, default=100.0,
+                   help="R1 gradient-penalty weight")
+    p.add_argument("--rec-weight", type=float, default=2.5,
+                   help="NN_rec_lpips_weight")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -85,10 +94,11 @@ def main():
                         mbstd_group_size=8, dtype=jnp.bfloat16),
         G_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
         D_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
-        G_loss_args=EasyDict(NN_rec_lpips_weight=2.5),
-        D_loss_args=EasyDict(gamma=100.0),
+        G_loss_args=EasyDict(NN_rec_lpips_weight=args.rec_weight),
+        D_loss_args=EasyDict(gamma=args.gamma),
         dataset_args=EasyDict(tfrecord_dir=args.dataset, max_label_size=0),
-        sched_args=EasyDict(G_lrate_base=0.002, D_lrate_base=0.002,
+        sched_args=EasyDict(G_lrate_base=args.g_lrate,
+                            D_lrate_base=args.d_lrate,
                             minibatch_size_base=args.minibatch,
                             minibatch_gpu_base=args.minibatch,
                             tick_kimg_base=20),
@@ -110,6 +120,7 @@ def main():
         image_snapshot_ticks=args.image_snapshot_ticks,
         network_snapshot_ticks=args.network_snapshot_ticks,
         resume_checkpoint=args.resume_checkpoint,
+        resume_staleness=args.resume_staleness,
         num_devices=1,
         smoke_test_max_iters=args.smoke or None,
         save_full_checkpoints=True,
