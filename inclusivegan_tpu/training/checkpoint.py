@@ -38,7 +38,8 @@ def load_checkpoint(path: str, target_state: TrainState):
     create_train_state with the same configs). Returns (state, imle_dict)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)  # structure comes from on-disk metadata
+    # orbax/tensorstore rejects relative paths
+    restored = ckptr.restore(os.path.abspath(path))
     return _from_plain(restored["state"], target_state), restored.get("imle", {})
 
 
