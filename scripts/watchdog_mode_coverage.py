@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Self-healing supervisor for the stacked-MNIST mode-coverage experiment.
+
+Polls the active run's ``metric-mode_counts_24k.txt`` (written by the
+in-training metric tick) and the trainer PID, and reacts:
+
+  * **collapse** (mode count drops >``--drop-threshold`` below the observed
+    peak once the peak is past ``--min-peak``): cooperatively stops the run
+    (``abort.txt``, the reference's own stop mechanism), waits for the
+    ``_finished.txt`` sentinel, then relaunches
+    ``scripts/exp_stacked_mode_coverage.py`` from the orbax checkpoint of
+    the best-scoring snapshot with *escalated* stabilizer knobs
+    (D lrate halved and rec weight raised per level, staleness re-anchored
+    to 1).
+  * **crash / silent exit** (PID gone without reaching total_kimg): relaunch
+    from the latest checkpoint at the current escalation level.
+  * **north star** (count >= ``--target``): logged; training continues (all
+    snapshots are retained, so later collapse cannot lose the result).
+
+Only ever one trainer process exists at a time (single-client rule for the
+relay TPU): a relaunch happens strictly after the previous process exited.
+State is kept in memory; the watchdog log is append-only in --result-root.
+"""
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+METRIC_FILE = "metric-mode_counts_24k.txt"
+LINE_RE = re.compile(
+    r"network-snapshot-(\d+)\s+time\s+\S+\s+mode_counts_24k\s+(\d+)"
+    r"(?:\s+mode_counts_24k_KL\s+([\d.]+))?")
+
+
+def log(root, msg):
+    line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(os.path.join(root, "watchdog.log"), "a") as f:
+        f.write(line + "\n")
+
+
+def read_metrics(run_dir):
+    """→ list of (snapshot_kimg, count, kl) in file order."""
+    path = os.path.join(run_dir, METRIC_FILE)
+    if not os.path.isfile(path):
+        return []
+    out = []
+    with open(path) as f:
+        for ln in f:
+            m = LINE_RE.search(ln)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2)),
+                            float(m.group(3)) if m.group(3) else None))
+    return out
+
+
+def checkpoint_for_kimg(run_dir, kimg):
+    """Orbax step dir whose step//1000 == snapshot kimg, if present."""
+    cdir = os.path.join(run_dir, "checkpoints")
+    if not os.path.isdir(cdir):
+        return None
+    for name in sorted(os.listdir(cdir), reverse=True):
+        if name.startswith("step_") and int(name[len("step_"):]) // 1000 == kimg:
+            return os.path.join(cdir, name)
+    return None
+
+
+def latest_checkpoint(run_dir):
+    cdir = os.path.join(run_dir, "checkpoints")
+    if not os.path.isdir(cdir):
+        return None
+    steps = [n for n in os.listdir(cdir) if n.startswith("step_")]
+    if not steps:
+        return None
+    return os.path.join(cdir, max(steps, key=lambda n: int(n[len("step_"):])))
+
+
+def pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except (OSError, TypeError):
+        return False
+
+
+def newest_run_dir(result_root, desc_substr, after_ts):
+    cands = []
+    for name in os.listdir(result_root):
+        full = os.path.join(result_root, name)
+        if (os.path.isdir(full) and desc_substr in name
+                and re.match(r"\d{5}-", name)
+                and os.path.getmtime(full) >= after_ts - 5):
+            cands.append(full)
+    return max(cands, default=None)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run-dir", required=True,
+                   help="run dir of the live trainer to supervise")
+    p.add_argument("--pid-file", default="/tmp/run.pid")
+    p.add_argument("--result-root", default="/root/repo/results")
+    p.add_argument("--target", type=int, default=997)
+    p.add_argument("--drop-threshold", type=int, default=100)
+    p.add_argument("--min-peak", type=int, default=600)
+    p.add_argument("--poll-sec", type=float, default=90.0)
+    p.add_argument("--max-relaunches", type=int, default=6)
+    p.add_argument("--d-lrate", type=float, default=0.001,
+                   help="D lrate of the CURRENT supervised run (level 0)")
+    p.add_argument("--rec-weight", type=float, default=2.5,
+                   help="rec weight of the CURRENT supervised run")
+    p.add_argument("--fallback-checkpoint",
+                   default="/root/repo/results/00007-stacked-synth-234k-"
+                           "mode-coverage/checkpoints/step_00622976",
+                   help="resume point if the supervised run has no better "
+                        "checkpoint of its own")
+    p.add_argument("--fallback-count", type=int, default=994,
+                   help="mode count of --fallback-checkpoint")
+    p.add_argument("--exp-script",
+                   default="scripts/exp_stacked_mode_coverage.py",
+                   help="trainer entry point (stub-able for dry drives)")
+    p.add_argument("--repo-root", default="/root/repo")
+    p.add_argument("--launch-args", default=(
+        "--data-dir /tmp/exp/datasets --dataset stacked_synth_240k "
+        "--data-size 240000 --num-samples-factor 10 --init-proj-dim 128 "
+        "--candidate-batch-size 2048 "
+        "--classifier /tmp/exp/stacked_mnist_classifier.npz "
+        "--result-root /root/repo/results --image-snapshot-ticks 5 "
+        "--network-snapshot-ticks 2"),
+                   help="base args for exp_stacked_mode_coverage.py relaunch")
+    args = p.parse_args()
+
+    root = args.result_root
+    run_dir = os.path.abspath(args.run_dir)
+    d_lrate, rec_weight = args.d_lrate, args.rec_weight
+    # global best across all supervised runs: (count, checkpoint_path)
+    best = (args.fallback_count, args.fallback_checkpoint)
+    relaunches = 0
+    seen = 0
+    child = None  # Popen of a trainer WE launched (poll() reaps; os.kill(0)
+    # on an unreaped child zombie would report it alive forever)
+    log(root, f"watchdog start: run_dir={run_dir} d_lrate={d_lrate} "
+              f"rec_weight={rec_weight} target>={args.target}")
+
+    def relaunch(from_ckpt, reason):
+        nonlocal run_dir, relaunches, seen, child
+        relaunches += 1
+        if relaunches > args.max_relaunches:
+            log(root, f"max relaunches ({args.max_relaunches}) reached; "
+                      "watchdog exiting")
+            sys.exit(0)
+        cmd = (f"{sys.executable} {args.exp_script} "
+               f"{args.launch_args} --resume-checkpoint {from_ckpt} "
+               f"--resume-staleness 1 --d-lrate {d_lrate:g} "
+               f"--rec-weight {rec_weight:g}")
+        log(root, f"relaunch #{relaunches} ({reason}): {cmd}")
+        t0 = time.time()
+        proc = subprocess.Popen(
+            cmd.split(), cwd=args.repo_root,
+            stdout=open(f"/tmp/exp_relaunch_{relaunches}.out", "w"),
+            stderr=subprocess.STDOUT, start_new_session=True)
+        child = proc
+        with open(args.pid_file, "w") as f:
+            f.write(str(proc.pid))
+        # wait for the new numbered run dir to appear
+        nd = None
+        while nd is None and proc.poll() is None:
+            time.sleep(10)
+            nd = newest_run_dir(root, "mode-coverage", t0)
+        if nd is None:
+            log(root, f"relaunch #{relaunches} died before creating a run "
+                      f"dir (see /tmp/exp_relaunch_{relaunches}.out)")
+            return
+        run_dir = nd
+        seen = 0
+        log(root, f"supervising new run dir {run_dir} (pid {proc.pid})")
+
+    while True:
+        time.sleep(args.poll_sec)
+        entries = read_metrics(run_dir)
+        for kimg, count, kl in entries[seen:]:
+            log(root, f"eval @ {kimg} kimg: {count} modes"
+                      + (f" KL {kl}" if kl is not None else ""))
+            if count >= args.target:
+                log(root, f"*** NORTH STAR: {count} >= {args.target} "
+                          f"(snapshot {kimg} in {run_dir}) ***")
+            if count > best[0]:
+                ck = checkpoint_for_kimg(run_dir, kimg)
+                if ck:
+                    best = (count, ck)
+        seen = len(entries)
+
+        try:
+            pid = int(open(args.pid_file).read().strip())
+        except (OSError, ValueError):
+            pid = None
+        if child is not None and pid == child.pid:
+            alive = child.poll() is None
+        else:
+            alive = pid_alive(pid)
+
+        latest = entries[-1] if entries else None
+        peak = max([c for _, c, _ in entries] + [best[0]])
+        collapsed = (latest is not None and peak >= args.min_peak
+                     and peak - latest[1] > args.drop_threshold)
+
+        if collapsed and alive:
+            log(root, f"collapse: latest {latest[1]} vs peak {peak}; "
+                      f"aborting {run_dir}")
+            open(os.path.join(run_dir, "abort.txt"), "w").close()
+            deadline = time.time() + 3600
+            while (not os.path.exists(os.path.join(run_dir, "_finished.txt"))
+                   and time.time() < deadline):
+                time.sleep(15)
+            def _alive():
+                if child is not None and pid == child.pid:
+                    return child.poll() is None
+                return pid_alive(pid)
+            while _alive() and time.time() < deadline:
+                time.sleep(5)
+            d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
+            relaunch(best[1], f"collapse to {latest[1]}")
+        elif not alive:
+            if os.path.exists(os.path.join(run_dir, "_finished.txt")) \
+                    and not collapsed:
+                err = [n for n in os.listdir(run_dir)
+                       if n.endswith("-error.txt")]
+                if err:
+                    ck = latest_checkpoint(run_dir) or best[1]
+                    relaunch(ck, f"crash ({err[0]})")
+                else:
+                    log(root, "run finished cleanly (total_kimg or abort); "
+                              "watchdog exiting")
+                    sys.exit(0)
+            elif collapsed:
+                d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
+                relaunch(best[1], f"exited collapsed ({latest[1]})")
+            else:
+                ck = latest_checkpoint(run_dir) or best[1]
+                relaunch(ck, "process vanished without sentinel")
+
+
+if __name__ == "__main__":
+    main()
