@@ -170,7 +170,11 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         return random.fold_in(rng, lax.axis_index("data"))
 
     # ------------------------------------------------------------------
-    def g_phase_local(state: TrainState, batch, rng, g_lrate):
+    def g_phase_local(state: TrainState, batch, rng, g_lrate, rec_w):
+        # rec_w is a TRACED scalar: changing NN_rec_lpips_weight between
+        # runs reuses the compiled phase program (a static weight forced a
+        # full recompile of the G phase — ~1 h on a cold remote-compile
+        # cache — when the mode-coverage watchdog escalated the knob)
         rng = _device_rng(rng)
         k_aug1, k_aug2, k_g, k_arb = random.split(rng, 4)
         local_mb = batch["latents_rec_1"].shape[0]
@@ -194,7 +198,7 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                 out = g_main_loss(
                     g_params, state.d_params, G=G, D=D,
                     lpips_params=lpips_params, rng=key, **d,
-                    NN_rec_lpips_weight=cfg.NN_rec_lpips_weight,
+                    NN_rec_lpips_weight=rec_w,
                     lpips_dtype=cfg.lpips_dtype or jnp.float32,
                     batched=cfg.g_loss_batched)
                 return jnp.mean(out.loss), out
@@ -336,7 +340,8 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                               gs_params=gs_params), scalars
 
     # ------------------------------------------------------------------
-    def d_reg_phase_local(state: TrainState, batch, rng, d_lrate):
+    def d_reg_phase_local(state: TrainState, batch, rng, d_lrate, gamma):
+        # gamma traced for the same compile-cache reason as rec_w above
         rng = _device_rng(rng)
         reals = _process_reals(batch["reals"], rng, cfg.mirror_augment,
                                cfg.drange_data)
@@ -346,7 +351,7 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
             del key  # R1 draws no randomness
 
             def reg_fn(d_params):
-                reg, scalars = d_r1_reg(d_params, D=D, gamma=cfg.gamma, **d)
+                reg, scalars = d_r1_reg(d_params, D=D, gamma=gamma, **d)
                 return jnp.mean(reg) * cfg.D_reg_interval, scalars
 
             (_, scalars), grads = jax.value_and_grad(
@@ -384,8 +389,9 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
     donate = (0,) if cfg.donate_state else ()
 
     @functools.partial(jax.jit, donate_argnums=donate)
-    def g_step(state, batch_g, rng, g_lrate):
-        return _smap(g_phase_local, batch_g, 2)(state, batch_g, rng, g_lrate)
+    def g_step(state, batch_g, rng, g_lrate, rec_w):
+        return _smap(g_phase_local, batch_g, 3)(state, batch_g, rng, g_lrate,
+                                                rec_w)
 
     @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=donate)
     def g_reg_step(state, rng, g_lrate, local_mb):
@@ -399,9 +405,9 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                                                 gs_beta)
 
     @functools.partial(jax.jit, donate_argnums=donate)
-    def d_reg_step(state, batch_d, rng, d_lrate):
-        return _smap(d_reg_phase_local, batch_d, 2)(state, batch_d, rng,
-                                                    d_lrate)
+    def d_reg_step(state, batch_d, rng, d_lrate, gamma):
+        return _smap(d_reg_phase_local, batch_d, 3)(state, batch_d, rng,
+                                                    d_lrate, gamma)
 
     num_dev = mesh.devices.size
 
@@ -415,7 +421,8 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                     "reals_rec_2", "labels_rec_2", "latents_rec_2")}
         batch_d = {"reals": batch["reals"], "labels": batch["labels"]}
         scalars = {}
-        state, s = g_step(state, batch_g, k1, g_lrate)
+        state, s = g_step(state, batch_g, k1, g_lrate,
+                          jnp.float32(cfg.NN_rec_lpips_weight))
         scalars.update(s)
         if do_g_reg:
             local_mb = batch["latents_rec_1"].shape[0] // num_dev
@@ -424,7 +431,8 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         state, s = d_step(state, batch_d, k3, d_lrate, gs_beta)
         scalars.update(s)
         if do_d_reg:
-            state, s = d_reg_step(state, batch_d, k4, d_lrate)
+            state, s = d_reg_step(state, batch_d, k4, d_lrate,
+                                  jnp.float32(cfg.gamma))
             scalars.update(s)
         return state, scalars
 

@@ -60,6 +60,13 @@ def main():
                    help="R1 gradient-penalty weight")
     p.add_argument("--rec-weight", type=float, default=2.5,
                    help="NN_rec_lpips_weight")
+    p.add_argument("--lpips-weights", default=None,
+                   help="npz for models/lpips.py::load_lpips_params — e.g. "
+                        "the domain perceptual net from "
+                        "scripts/train_perceptual_vgg.py. Default (None) "
+                        "falls back to the pixel-pyramid metric, which has "
+                        "no perceptual separation pressure (BENCH_NOTES "
+                        "mode-collapse post-mortem)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -117,6 +124,7 @@ def main():
         exclusive_retrieved_code=0,
         dist_thres_percentile=100.0,
         attr_interesting=None,
+        lpips_weights_path=args.lpips_weights,
         image_snapshot_ticks=args.image_snapshot_ticks,
         network_snapshot_ticks=args.network_snapshot_ticks,
         resume_checkpoint=args.resume_checkpoint,

@@ -182,8 +182,10 @@ def test_grad_accumulation_r1_matches_full_batch():
     batch = _batch(5)
     batch_d = {"reals": batch["reals"], "labels": batch["labels"]}
     rng = jax.random.key(5)
-    s1, _ = step1.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002))
-    s2, _ = step2.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002))
+    s1, _ = step1.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002),
+                                       jnp.float32(10.0))
+    s2, _ = step2.phases["d_reg_step"](state, batch_d, rng, jnp.float32(0.002),
+                                       jnp.float32(10.0))
     w1 = np.asarray(s1.d_params["4x4"]["Conv"]["weight"])
     w2 = np.asarray(s2.d_params["4x4"]["Conv"]["weight"])
     assert float(np.abs(w1 - np.asarray(state.d_params["4x4"]["Conv"]["weight"])).max()) > 0
