@@ -142,11 +142,13 @@ def main():
     seen = 0
     child = None  # Popen of a trainer WE launched (poll() reaps; os.kill(0)
     # on an unreaped child zombie would report it alive forever)
+    we_aborted = False  # wrote abort.txt into the current run_dir ourselves
     log(root, f"watchdog start: run_dir={run_dir} d_lrate={d_lrate} "
               f"rec_weight={rec_weight} target>={args.target}")
 
     def relaunch(from_ckpt, reason):
-        nonlocal run_dir, relaunches, seen, child
+        nonlocal run_dir, relaunches, seen, child, we_aborted
+        we_aborted = False  # the new run dir starts clean
         relaunches += 1
         if relaunches > args.max_relaunches:
             log(root, f"max relaunches ({args.max_relaunches}) reached; "
@@ -207,9 +209,19 @@ def main():
         collapsed = (latest is not None and peak >= args.min_peak
                      and peak - latest[1] > args.drop_threshold)
 
-        if collapsed and alive:
+        # an abort.txt WE did not write is an external stop (bench.py
+        # yields the chip this way at round end; or the operator) — never
+        # fight it with a relaunch
+        external_abort = (os.path.exists(os.path.join(run_dir, "abort.txt"))
+                          and not we_aborted)
+        if external_abort:
+            if not alive:
+                log(root, "external abort honored; watchdog exiting")
+                sys.exit(0)
+        elif collapsed and alive:
             log(root, f"collapse: latest {latest[1]} vs peak {peak}; "
                       f"aborting {run_dir}")
+            we_aborted = True
             open(os.path.join(run_dir, "abort.txt"), "w").close()
             deadline = time.time() + 3600
             while (not os.path.exists(os.path.join(run_dir, "_finished.txt"))
