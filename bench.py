@@ -123,6 +123,11 @@ def main():
             "labels": np.zeros((2 * mb, 0), np.float32),
         })
 
+    # host batch assembly overlaps device steps exactly as in production
+    # (training_loop.py prefetch_depth; reference used tf.data prefetch)
+    from inclusivegan_tpu.data.dataset import Prefetcher
+    prefetcher = Prefetcher(batch, depth=2)
+
     key = jax.random.key(1)
     lr = jnp.float32(0.002)
     gs_beta = jnp.float32(0.5 ** (mb / 10000.0))
@@ -139,7 +144,7 @@ def main():
         for i in range(iters):
             c = start_counter + i
             key, k = jax.random.split(key)
-            state, scalars = step(state, batch(), k, lr, lr, gs_beta,
+            state, scalars = step(state, prefetcher.get(), k, lr, lr, gs_beta,
                                   do_g_reg=(c % 4 == 0),
                                   do_d_reg=(c % 16 == 0))
         fence(state)
@@ -164,6 +169,7 @@ def main():
 
     imgs_per_sec = max(windows)
     per_chip = imgs_per_sec / n_dev
+    prefetcher.close()
 
     # secondary: eval-mode generator inference rate (BASELINE.json config
     # "CelebA-128 generator inference via run_generator.py")

@@ -184,33 +184,68 @@ def load_dataset(class_name: str = "inclusivegan_tpu.data.dataset.TFRecordDatase
     return ds
 
 
+class _PrefetchError:
+    """Exception wrapper distinguishable from legitimate fn() results."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
     """Background-thread minibatch prefetch so host batch assembly overlaps
     device steps (the reference relied on tf.data prefetch,
-    dataset.py:97-120)."""
+    dataset.py:97-120).
+
+    The worker is the SOLE consumer of whatever iterator state ``fn``
+    touches while the prefetcher is open: every ``fn()`` result is delivered
+    exactly once and in order (a full queue blocks the worker — it never
+    re-invokes ``fn`` to retry a put), so prefetched and inline assembly
+    produce identical batch streams. ``close()`` joins the worker before
+    returning, after which the caller may safely mutate the shared state
+    (e.g. an IMLE candidate rebuild) — at most ``depth``+1 already-assembled
+    batches are discarded."""
 
     def __init__(self, fn, depth: int = 2):
         self._fn = fn
         self._q = queue_mod.Queue(maxsize=depth)
-        self._stop = False
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
-        while not self._stop:
+        while not self._stop.is_set():
             try:
-                self._q.put(self._fn(), timeout=1.0)
-            except queue_mod.Full:
-                continue
-            except Exception as e:  # surface in get()
-                self._q.put(e)
+                item = self._fn()
+            except BaseException as e:  # surface in get()
+                item = _PrefetchError(e)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    break
+                except queue_mod.Full:
+                    continue
+            if isinstance(item, _PrefetchError):
                 return
 
     def get(self):
-        item = self._q.get()
-        if isinstance(item, Exception):
-            raise item
+        while True:
+            try:
+                item = self._q.get(timeout=10.0)
+                break
+            except queue_mod.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError("Prefetcher worker exited without "
+                                       "producing a batch")
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         return item
 
     def close(self):
-        self._stop = True
+        """Stop the worker and join it; pending batches are discarded."""
+        self._stop.set()
+        while self._thread.is_alive():
+            try:  # unblock a worker stuck on a full queue
+                self._q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            self._thread.join(timeout=0.2)

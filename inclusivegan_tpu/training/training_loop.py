@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import load_dataset
+from ..data.dataset import Prefetcher, load_dataset
 from ..data.dataset_tool import load_celeba_attributes
 from ..models import Discriminator, GMain
 from ..models.lpips import get_lpips_params
@@ -149,6 +149,9 @@ def training_loop(
     num_devices: Optional[int] = None,
     seed: int = 1000,
     smoke_test_max_iters: Optional[int] = None,
+    prefetch_depth: int = 2,  # host batch-assembly lookahead (0 = inline);
+    # overlaps IMLE gather + TFRecord decode + H2D with the device step
+    # (reference overlapped via tf.data prefetch, dataset.py:97-120)
     enable_profiler: bool = False,   # jax.profiler trace of iters 8-16
     save_full_checkpoints: bool = True,  # orbax state (params+opt+EMA)
 ):
@@ -349,6 +352,28 @@ def training_loop(
     base_key = jax.random.key(seed + 11)
     iters_done = 0
 
+    def _assemble_batch(mb):
+        """One iteration's host work: IMLE rec gather + real minibatch
+        decode + uint8 H2D. Runs either inline or on the Prefetcher thread
+        (sole consumer of both dataset iterators while the prefetcher is
+        open; see data.dataset.Prefetcher)."""
+        r1, l1, z1, r2, l2, z2 = imle.next_rec_batch(training_set_rec, mb)
+        reals, labels = training_set.get_minibatch_np(mb * 2)
+        return shard_batch(mesh, {
+            "reals_rec_1": r1, "labels_rec_1": l1, "latents_rec_1": z1,
+            "reals_rec_2": r2, "labels_rec_2": l2, "latents_rec_2": z2,
+            "reals": reals, "labels": labels,
+        })
+
+    prefetcher = None
+    prefetch_mb = None
+
+    def _stop_prefetcher():
+        nonlocal prefetcher
+        if prefetcher is not None:
+            prefetcher.close()
+            prefetcher = None
+
     while cur_nimg < total_kimg * 1000:
         if ctx is not None and ctx.should_stop():
             break
@@ -365,19 +390,22 @@ def training_loop(
                          running_mb_counter % D_reg_interval == 0)
 
             if imle.needs_rebuild(cur_nimg, mb * 2):
+                # join the worker first: rebuild mutates the IMLE pool the
+                # assembly closure reads (queued stale-pool batches drop)
+                _stop_prefetcher()
                 t0 = time.time()
                 imle.rebuild(generate_images, training_set_rec,
                              generate_features=generate_features)
                 stats.report("Timing/dci_rebuild_sec", time.time() - t0)
 
-            r1, l1, z1, r2, l2, z2 = imle.next_rec_batch(training_set_rec, mb)
-            reals, labels = training_set.get_minibatch_np(mb * 2)
-            batch = {
-                "reals_rec_1": r1, "labels_rec_1": l1, "latents_rec_1": z1,
-                "reals_rec_2": r2, "labels_rec_2": l2, "latents_rec_2": z2,
-                "reals": reals, "labels": labels,
-            }
-            batch = shard_batch(mesh, batch)
+            if prefetch_mb != mb:  # minibatch changed: closure is stale
+                _stop_prefetcher()
+                prefetch_mb = mb
+            if prefetch_depth > 0 and prefetcher is None:
+                prefetcher = Prefetcher(lambda m=mb: _assemble_batch(m),
+                                        depth=prefetch_depth)
+            batch = (prefetcher.get() if prefetcher is not None
+                     else _assemble_batch(mb))
             base_key, step_key = jax.random.split(base_key)
             gs_beta = (0.5 ** (mb / (G_smoothing_kimg * 1000.0))
                        if G_smoothing_kimg > 0 else 0.0)
@@ -450,6 +478,7 @@ def training_loop(
                 _run_metrics(metric_arg_list, path, dataset_args, data_dir,
                              run_dir, mesh)
 
+    _stop_prefetcher()
     misc.save_pkl(snapshot_dict(G, D, state),
                   os.path.join(run_dir, "network-final.pkl"))
     events.add_scalars(stats.flush(step=cur_nimg), step=cur_nimg)

@@ -308,3 +308,55 @@ def test_load_image_records_bulk_and_ragged(tmp_path):
     # max_images restricted to a uniform prefix still works
     np.testing.assert_array_equal(
         tfrecord.load_image_records(ragged, max_images=1), rimgs[0][None])
+
+
+# ------------------------------------------------------------------ prefetch
+
+def test_prefetcher_exactly_once_in_order():
+    """A full queue must BLOCK the worker, not re-invoke fn: every fn()
+    result is delivered exactly once and in order, so prefetched and inline
+    assembly read identical iterator streams (training_loop relies on this
+    for IMLE cursor arithmetic)."""
+    import itertools
+    import time
+    from inclusivegan_tpu.data.dataset import Prefetcher
+
+    counter = itertools.count()
+    pf = Prefetcher(lambda: next(counter), depth=2)
+    time.sleep(0.6)  # queue fills; worker repeatedly hits Full and must wait
+    got = [pf.get() for _ in range(10)]
+    pf.close()
+    assert got == list(range(10))
+
+
+def test_prefetcher_close_joins_worker():
+    """close() must join the worker (even when it is blocked on a full
+    queue) so the caller can mutate shared state, e.g. an IMLE rebuild."""
+    import time
+    from inclusivegan_tpu.data.dataset import Prefetcher
+
+    state = {"n": 0}
+
+    def fn():
+        state["n"] += 1
+        return state["n"]
+
+    pf = Prefetcher(fn, depth=1)
+    time.sleep(0.3)
+    pf.close()
+    assert not pf._thread.is_alive()
+    n = state["n"]
+    time.sleep(0.3)
+    assert state["n"] == n  # no assembly after close returns
+
+
+def test_prefetcher_propagates_exception():
+    from inclusivegan_tpu.data.dataset import Prefetcher
+
+    def boom():
+        raise ValueError("assembly failed")
+
+    pf = Prefetcher(boom, depth=2)
+    with pytest.raises(ValueError, match="assembly failed"):
+        pf.get()
+    pf.close()
