@@ -38,7 +38,8 @@ class FID(MetricBase):
         cache = self._get_cache_file(dataset_args=repr(dataset_args),
                                      data_dir=data_dir,
                                      num_images=self.num_images,
-                                     net=feat_net.checksum())
+                                     net=feat_net.checksum(),
+                                     mirror_augment=self._mirror_augment)
         if os.path.isfile(cache):
             with open(cache, "rb") as f:
                 mu_real, sigma_real = pickle.load(f)
@@ -47,8 +48,8 @@ class FID(MetricBase):
             feats = []
             done = 0
             while done < self.num_images and done < dataset.num_images:
-                imgs, _ = dataset.get_minibatch_np(
-                    min(self.minibatch, self.num_images - done))
+                imgs, _ = self._reals_batch(
+                    dataset, min(self.minibatch, self.num_images - done))
                 feats.append(feat_net(imgs.astype(np.float32)))
                 done += imgs.shape[0]
             feats = np.concatenate(feats)

@@ -161,9 +161,21 @@ class MetricBase:
     def run(self, network_pkl: str, run_dir: Optional[str] = None,
             dataset_args: dict = {}, data_dir: Optional[str] = None,
             minibatch_size: int = 32, num_devices: int = 1,
+            mirror_augment: Optional[bool] = None,
             **eval_kwargs):
         self._results = []
         self._network_name = os.path.splitext(os.path.basename(network_pkl))[0]
+        if mirror_augment is None and run_dir is not None:
+            # recover the run's own augmentation setting so real statistics
+            # match the training distribution (reference metric_base.py:49-53)
+            from ..utils.misc import parse_config_for_previous_run
+            try:
+                mirror_augment = bool(parse_config_for_previous_run(run_dir)
+                                      ["train"].get("mirror_augment", False))
+            except Exception:
+                mirror_augment = False
+        self._mirror_augment = bool(mirror_augment or False)
+        self._mirror_rng = np.random.default_rng(123)
         if not dataset_args and run_dir is not None:
             # fall back to the run's own dataset config (reference
             # metric_base.py:48-52 via misc.parse_config_for_previous_run)
@@ -203,6 +215,16 @@ class MetricBase:
     def _open_dataset(self, dataset_args, data_dir):
         from ..data.dataset import load_dataset
         return load_dataset(data_dir=data_dir, shuffle=False, **dataset_args)
+
+    def _reals_batch(self, dataset, n):
+        """Real minibatch with the run's mirror augmentation applied, so
+        real-side statistics see the same distribution training saw
+        (reference metric_base.py:128-129)."""
+        from ..utils.misc import apply_mirror_augment
+        imgs, labels = dataset.get_minibatch_np(n)
+        if self._mirror_augment:
+            imgs = apply_mirror_augment(imgs, self._mirror_rng)
+        return imgs, labels
 
     def _evaluate(self, sampler: GsSampler, dataset_args, data_dir, **kwargs):
         raise NotImplementedError

@@ -90,7 +90,7 @@ class PR(MetricBase):
         ref = []
         done = 0
         while done < n:
-            imgs, _ = dataset.get_minibatch_np(min(self.minibatch, n - done))
+            imgs, _ = self._reals_batch(dataset, min(self.minibatch, n - done))
             ref.append(feat_net(imgs.astype(np.float32)))
             done += imgs.shape[0]
         ref = np.concatenate(ref)

@@ -476,7 +476,7 @@ def training_loop(
                                     "staleness": int(imle.staleness)},
                         step=cur_nimg)
                 _run_metrics(metric_arg_list, path, dataset_args, data_dir,
-                             run_dir, mesh)
+                             run_dir, mesh, mirror_augment)
 
     _stop_prefetcher()
     misc.save_pkl(snapshot_dict(G, D, state),
@@ -523,7 +523,7 @@ def _save_image_snapshots(G, state, gs_sample, grid_latents, grid_size, imle,
 
 
 def _run_metrics(metric_arg_list, snapshot_path, dataset_args, data_dir,
-                 run_dir, mesh):
+                 run_dir, mesh, mirror_augment=False):
     if not metric_arg_list:
         return
     from ..metrics import metric_base
@@ -532,6 +532,7 @@ def _run_metrics(metric_arg_list, snapshot_path, dataset_args, data_dir,
             metric_base.run_metric(args, network_pkl=snapshot_path,
                                    dataset_args=dataset_args,
                                    data_dir=data_dir, run_dir=run_dir,
+                                   mirror_augment=mirror_augment,
                                    num_devices=mesh.devices.size)
         except Exception as e:  # metrics must not kill training
             print(f"metric {args.get('name', '?')} failed: {e}")

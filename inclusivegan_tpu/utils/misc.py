@@ -29,6 +29,21 @@ def is_pickleable(obj: Any) -> bool:
         return False
 
 
+def apply_mirror_augment(minibatch: np.ndarray,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> np.ndarray:
+    """Horizontally flip a random half of an NCHW minibatch (reference
+    training/misc.py::apply_mirror_augment). ``rng=None`` uses the global
+    legacy stream like the reference; metrics pass a seeded Generator so
+    cached real statistics are reproducible."""
+    rand = (np.random.rand(minibatch.shape[0]) if rng is None
+            else rng.random(minibatch.shape[0]))
+    mask = rand < 0.5
+    minibatch = np.array(minibatch)
+    minibatch[mask] = minibatch[mask, :, :, ::-1]
+    return minibatch
+
+
 def adjust_dynamic_range(data, drange_in, drange_out):
     """Linear range remap, e.g. uint8 [0,255] → float [-1,1]
     (reference: training/misc.py:36-41)."""

@@ -12,7 +12,8 @@ from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
-def run(submit_config, network_pkl, metrics, dataset, data_dir):
+def run(submit_config, network_pkl, metrics, dataset, data_dir,
+        mirror_augment=False):
     from inclusivegan_tpu.metrics import metric_base
     print(f'Evaluating metrics "{",".join(m.name for m in metrics)}" '
           f'for "{network_pkl}"...')
@@ -22,8 +23,19 @@ def run(submit_config, network_pkl, metrics, dataset, data_dir):
         results.update(metric_base.run_metric(
             args, network_pkl=network_pkl, dataset_args=dataset_args,
             data_dir=data_dir, run_dir=submit_config.run_dir,
+            mirror_augment=mirror_augment,
             num_devices=getattr(submit_config, "num_devices", 1) or 1))
     return results
+
+
+def _str_to_bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
 def _parse_comma_sep(s):
@@ -44,6 +56,11 @@ def main():
     parser.add_argument("--num-gpus", "--num-devices", dest="num_devices",
                         type=int, default=1, metavar="N",
                         help="devices to shard fake-generation over")
+    parser.add_argument("--mirror-augment", default=False, type=_str_to_bool,
+                        metavar="BOOL",
+                        help="apply mirror augment to reals so their "
+                             "statistics match an augmented training run "
+                             "(reference run_metrics.py:54)")
     args = parser.parse_args()
 
     metrics = []
@@ -58,7 +75,8 @@ def main():
     sc.run_desc = "run_metrics"
     sc.num_devices = args.num_devices
     submit_run(sc, "run_metrics.run", network_pkl=args.network_pkl,
-               metrics=metrics, dataset=args.dataset, data_dir=args.data_dir)
+               metrics=metrics, dataset=args.dataset, data_dir=args.data_dir,
+               mirror_augment=args.mirror_augment)
 
 
 if __name__ == "__main__":

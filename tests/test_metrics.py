@@ -124,3 +124,46 @@ def test_vgg_feature_net_shapes():
     # deterministic across instances (fixed seed)
     net2 = VGGFeatureNet()
     np.testing.assert_allclose(net2(imgs), feats, rtol=1e-6)
+
+
+def test_apply_mirror_augment_flips_half():
+    """Reference training/misc.py::apply_mirror_augment semantics: a random
+    ~half of the NCHW batch is flipped along width, the rest untouched, and
+    the input array is not mutated."""
+    from inclusivegan_tpu.utils.misc import apply_mirror_augment
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (64, 3, 8, 8)).astype(np.uint8)
+    orig = imgs.copy()
+    out = apply_mirror_augment(imgs, np.random.default_rng(123))
+    np.testing.assert_array_equal(imgs, orig)  # input untouched
+    flipped = [i for i in range(64)
+               if np.array_equal(out[i], orig[i, :, :, ::-1])]
+    kept = [i for i in range(64) if np.array_equal(out[i], orig[i])]
+    assert len(flipped) + len(kept) == 64
+    assert 10 < len(flipped) < 54  # random ~half at n=64
+
+
+def test_metric_reals_batch_applies_mirror_augment():
+    """MetricBase._reals_batch mirrors reals only when the run used mirror
+    augmentation (reference metric_base.py:128-129)."""
+    from inclusivegan_tpu.metrics.metric_base import MetricBase
+
+    class FakeDataset:
+        def get_minibatch_np(self, n):
+            base = np.arange(n * 3 * 4 * 4, dtype=np.uint8)
+            return base.reshape(n, 3, 4, 4), np.zeros((n, 0), np.float32)
+
+    m = MetricBase.__new__(MetricBase)
+    m.name = "t"
+    m._mirror_augment = False
+    m._mirror_rng = np.random.default_rng(123)
+    plain, _ = m._reals_batch(FakeDataset(), 32)
+    m._mirror_augment = True
+    mirrored, _ = m._reals_batch(FakeDataset(), 32)
+    assert not np.array_equal(plain, mirrored)
+    per_img_same_or_flip = all(
+        np.array_equal(mirrored[i], plain[i])
+        or np.array_equal(mirrored[i], plain[i, :, :, ::-1])
+        for i in range(32))
+    assert per_img_same_or_flip
