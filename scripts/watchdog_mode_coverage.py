@@ -112,12 +112,10 @@ def main():
                    help="D lrate of the CURRENT supervised run (level 0)")
     p.add_argument("--rec-weight", type=float, default=2.5,
                    help="rec weight of the CURRENT supervised run")
-    p.add_argument("--fallback-checkpoint",
-                   default="/root/repo/results/00007-stacked-synth-234k-"
-                           "mode-coverage/checkpoints/step_00622976",
+    p.add_argument("--fallback-checkpoint", default=None,
                    help="resume point if the supervised run has no better "
                         "checkpoint of its own")
-    p.add_argument("--fallback-count", type=int, default=994,
+    p.add_argument("--fallback-count", type=int, default=0,
                    help="mode count of --fallback-checkpoint")
     p.add_argument("--exp-script",
                    default="scripts/exp_stacked_mode_coverage.py",
@@ -129,7 +127,8 @@ def main():
         "--candidate-batch-size 2048 "
         "--classifier /tmp/exp/stacked_mnist_classifier.npz "
         "--result-root /root/repo/results --image-snapshot-ticks 5 "
-        "--network-snapshot-ticks 2"),
+        "--network-snapshot-ticks 2 "
+        "--lpips-weights /tmp/exp/perceptual_vgg.npz"),
                    help="base args for exp_stacked_mode_coverage.py relaunch")
     args = p.parse_args()
 
@@ -154,9 +153,10 @@ def main():
             log(root, f"max relaunches ({args.max_relaunches}) reached; "
                       "watchdog exiting")
             sys.exit(0)
+        resume = (f"--resume-checkpoint {from_ckpt} --resume-staleness 1 "
+                  if from_ckpt else "")
         cmd = (f"{sys.executable} {args.exp_script} "
-               f"{args.launch_args} --resume-checkpoint {from_ckpt} "
-               f"--resume-staleness 1 --d-lrate {d_lrate:g} "
+               f"{args.launch_args} {resume}--d-lrate {d_lrate:g} "
                f"--rec-weight {rec_weight:g}")
         log(root, f"relaunch #{relaunches} ({reason}): {cmd}")
         t0 = time.time()
