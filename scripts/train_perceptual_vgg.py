@@ -217,8 +217,14 @@ def main():
     print(f"geometry: black not-much-closer: {ok_black}; "
           f"mean-blob not-much-closer: {ok_mean}; "
           f"class-aware (same << distinct): {ok_same}")
-    if not (ok_black and ok_mean and ok_same):
-        print("WARNING: geometry checks failed — do not use for training")
+    geometry_ok = ok_black and ok_mean and ok_same
+    if not geometry_ok:
+        # Never overwrite a (possibly good) anchor with a rejected one —
+        # a diverged retrain once clobbered the production npz this way.
+        base, ext = os.path.splitext(args.out)
+        args.out = base + ".rejected" + (ext or ".npz")
+        print("WARNING: geometry checks failed — saving to "
+              f"{args.out} (NOT usable for training)")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     np.savez(args.out, **{f"{k}_w": v["w"] for k, v in final.items()
@@ -228,6 +234,8 @@ def main():
              **{k: v for k, v in final.items()
                 if k.startswith("lin_")})
     print(f"saved {args.out}")
+    if not geometry_ok:
+        sys.exit(3)
 
 
 if __name__ == "__main__":
