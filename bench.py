@@ -215,7 +215,9 @@ def main():
 
 def _latest_mode_coverage():
     """Best stacked-MNIST mode count (north star ≥997/1000) from any
-    completed run under results/ (scripts/exp_stacked_mode_coverage.py)."""
+    completed run under results/ (scripts/exp_stacked_mode_coverage.py),
+    falling back to the durable in-repo record that the mirror sidecar
+    keeps (results/ is wiped by VM restarts; the git tree is not)."""
     import glob
     import re
     best = None
@@ -229,6 +231,13 @@ def _latest_mode_coverage():
                         best = v if best is None else max(best, v)
         except OSError:
             pass
+    try:
+        with open("artifacts/best_mode_counts.json") as f:
+            v = int(json.load(f).get("count", -1))
+        if v >= 0:
+            best = v if best is None else max(best, v)
+    except (OSError, ValueError):
+        pass
     return best
 
 

