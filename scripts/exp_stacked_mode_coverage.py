@@ -51,6 +51,12 @@ def main():
     p.add_argument("--resume-checkpoint", default=None,
                    help="orbax step dir / checkpoints dir / run dir to "
                         "resume full state from")
+    p.add_argument("--resume-pkl", default=None,
+                   help="weights-only (G,D,Gs) snapshot to resume from — "
+                        "e.g. the output of scripts/restore_best_weights.py "
+                        "after a VM wipe destroyed the orbax copies "
+                        "(restarts optimizer state, reference "
+                        "--resume-pkl semantics)")
     p.add_argument("--resume-staleness", type=int, default=None,
                    help="override restored IMLE staleness on resume "
                         "(smaller = more frequent re-anchoring retrievals)")
@@ -127,6 +133,7 @@ def main():
         lpips_weights_path=args.lpips_weights,
         image_snapshot_ticks=args.image_snapshot_ticks,
         network_snapshot_ticks=args.network_snapshot_ticks,
+        resume_pkl=args.resume_pkl,
         resume_checkpoint=args.resume_checkpoint,
         resume_staleness=args.resume_staleness,
         num_devices=1,

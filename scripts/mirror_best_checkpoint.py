@@ -17,9 +17,23 @@ Pure host-side file copying — never touches the TPU client.
 import argparse
 import json
 import os
+import pickle
 import re
 import shutil
 import time
+
+# must precede the numpy import: on this VM class numpy's hugepage madvise
+# makes big first-touch writes stall behind khugepaged (BENCH_NOTES.md;
+# same guard as inclusivegan_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+import numpy as np  # noqa: E402
+
+try:
+    from numpy._core import multiarray as _ma  # np>=2
+except ImportError:  # pragma: no cover - older numpy
+    from numpy.core import multiarray as _ma  # type: ignore
+if hasattr(_ma, "_set_madvise_hugepage"):
+    _ma._set_madvise_hugepage(False)
 
 LINE_RE = re.compile(
     r"network-snapshot-(\d+)\s+time\s+\S+\s+mode_counts_24k\s+(\d+)"
@@ -56,6 +70,44 @@ def checkpoint_for_kimg(run_dir, kimg):
     return None
 
 
+def _cast_floats(tree, dtype):
+    """Recursively cast float arrays in a nested dict/list tree."""
+    if isinstance(tree, dict):
+        return {k: _cast_floats(v, dtype) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_cast_floats(v, dtype) for v in tree)
+    if isinstance(tree, np.ndarray) and tree.dtype.kind == "f":
+        return tree.astype(dtype)
+    return tree
+
+
+def mirror_weights(run_dir, kimg, count, kl, weights_file):
+    """fp16-cast the best network-snapshot pkl into the git tree (the only
+    storage that survives VM restarts; the 533 MB orbax full-state copy in
+    /tmp does not). scripts/restore_best_weights.py inverts this into a
+    --resume-pkl-able snapshot. Safe to read: the metric line that triggers
+    us is appended minutes after the pkl is fully written."""
+    src = os.path.join(run_dir, f"network-snapshot-{kimg:06d}.pkl")
+    if not os.path.isfile(src):
+        print(f"weights mirror: {src} missing (pruned?)", flush=True)
+        return False
+    with open(src, "rb") as f:
+        snap = pickle.load(f)
+    snap = _cast_floats(snap, np.float16)
+    snap["mirror_meta"] = {"count": count, "kl": kl, "kimg": kimg,
+                           "src_run": run_dir, "dtype": "float16",
+                           "ts": time.time()}
+    tmp = weights_file + ".tmp"
+    os.makedirs(os.path.dirname(weights_file), exist_ok=True)
+    with open(tmp, "wb") as f:
+        pickle.dump(snap, f, protocol=4)
+    os.replace(tmp, weights_file)
+    sz = os.path.getsize(weights_file) // (1 << 20)
+    print(f"weights-mirrored {count} modes @ {kimg} kimg -> "
+          f"{weights_file} ({sz} MB fp16)", flush=True)
+    return True
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--result-root", default="/root/repo/results")
@@ -65,6 +117,15 @@ def main():
                    help="in-repo (restart-surviving) copy of the best metric "
                         "record; bench.py falls back to it when results/ has "
                         "been wiped")
+    p.add_argument("--weights-file",
+                   default="/root/repo/artifacts/best_weights_fp16.pkl",
+                   help="in-repo fp16 copy of the best (G,D,Gs) snapshot; "
+                        "lets a later session resume near the peak after a "
+                        "VM wipe (restore_best_weights.py)")
+    p.add_argument("--weights-min-gain", type=int, default=15,
+                   help="only rewrite the ~120 MB weights mirror when the "
+                        "mode count improves by at least this much (each "
+                        "committed rewrite grows git history)")
     p.add_argument("--poll-sec", type=float, default=120.0)
     p.add_argument("--once", action="store_true")
     args = p.parse_args()
@@ -85,6 +146,14 @@ def main():
         except (OSError, ValueError):
             recorded = None
 
+    weights_stamp = args.weights_file + ".json"
+    weights_count = -1
+    if os.path.isfile(weights_stamp) and os.path.isfile(args.weights_file):
+        try:
+            weights_count = int(json.load(open(weights_stamp)).get("count", -1))
+        except (OSError, ValueError):
+            weights_count = -1
+
     while True:
         entries = scan_runs(args.result_root)
         if entries:
@@ -104,6 +173,18 @@ def main():
                           f"{args.record_file}", flush=True)
                 except OSError as e:
                     print(f"record write failed ({e})", flush=True)
+            if count >= weights_count + args.weights_min_gain:
+                try:
+                    if mirror_weights(run_dir, kimg, count, kl,
+                                      args.weights_file):
+                        weights_count = count
+                        with open(weights_stamp, "w") as f:
+                            json.dump({"count": count, "kl": kl,
+                                       "kimg": kimg, "src_run": run_dir,
+                                       "ts": time.time()}, f, indent=1)
+                except (OSError, pickle.PickleError) as e:
+                    print(f"weights mirror failed ({e}); will retry",
+                          flush=True)
             already = mirrored and mirrored.get("count", -1) >= count
             if not already:
                 ck = checkpoint_for_kimg(run_dir, kimg)
