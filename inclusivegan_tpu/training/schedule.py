@@ -57,3 +57,19 @@ def training_schedule(cur_nimg: int, resolution_log2: int,
 
     s.tick_kimg = tick_kimg_dict.get(s.resolution, tick_kimg_base)
     return s
+
+
+def resume_rampup_scale(kimg: float, resume_kimg: float,
+                        rampup_kimg: float) -> float:
+    """LR scale for warming Adam back up after a weights-only resume.
+
+    The reference's ``lrate_rampup_kimg`` is anchored at kimg 0 and so does
+    nothing for resumed runs; but resuming from a weights-only snapshot
+    (``--resume-pkl``, reference run_training.py:210) restarts the Adam
+    moments, and one full-lr step with zeroed second moments is effectively
+    a huge step that knocks a converged GAN off its equilibrium (measured:
+    962→874 modes within 20 kimg of such a resume). Linear 0→1 ramp over
+    ``rampup_kimg`` past the resume point; 1.0 once past it or disabled."""
+    if rampup_kimg <= 0:
+        return 1.0
+    return float(min(max(kimg - resume_kimg, 0.0) / rampup_kimg, 1.0))

@@ -38,7 +38,7 @@ from ..utils.easydict import EasyDict
 from ..utils.run_harness import RunContext
 from ..utils.stats import StatsCollector
 from .imle import IMLEOrchestrator
-from .schedule import training_schedule
+from .schedule import resume_rampup_scale, training_schedule
 from .train_state import create_train_state
 from .train_step import TrainConfig, make_train_step
 
@@ -132,6 +132,16 @@ def training_loop(
     resume_staleness: Optional[int] = None,  # override the restored IMLE
     # staleness on resume (reference has no full-state resume; this keeps
     # re-retrieval cadence a free knob when continuing a run)
+    resume_lrate_rampup_kimg: float = 0.0,  # warm Adam back up after a
+    # weights-only --resume-pkl (fresh moments): linear lr ramp over this
+    # many kimg past the resume point (schedule.resume_rampup_scale).
+    # Also slows the Gs EMA by the same ramp (beta**ramp): without it the
+    # EMA average — the eval-quality asset of the snapshot — decays to the
+    # raw G within ~3 half-lives while G is still warming up (measured
+    # 959→878 modes in 60 kimg at near-zero lr)
+    resume_g_from_gs: bool = False,  # start training G from the Gs (EMA)
+    # weights of the snapshot: the averaged point is the better model, and
+    # resuming the raw G just re-derives it over ~10 kimg of EMA decay
     data_size: int = 3000,
     num_epochs: int = 10000,
     init_proj_dim: Optional[int] = None,
@@ -209,6 +219,14 @@ def training_loop(
     state = create_train_state(jax.random.key(seed), G, D)
     if resume_state_params is not None:
         state = state._replace(**resume_state_params)
+        if resume_g_from_gs:
+            print("Resume: initializing G from the Gs (EMA) weights")
+            # deep-copy: g_params and gs_params are both donated train-step
+            # arguments, so they must not alias the same device buffers
+            # ("Attempt to donate the same buffer twice in Execute()")
+            state = state._replace(
+                g_params=jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                      state.gs_params))
 
     imle_restore = {}
     if resume_checkpoint is not None:
@@ -227,6 +245,10 @@ def training_loop(
         state, imle_restore = load_checkpoint(ckpt, state)
         # checkpoint dirs are named step_<cur_nimg>
         resume_kimg = int(os.path.basename(ckpt)[len("step_"):]) / 1000.0
+
+    if resume_state_params is not None and resume_lrate_rampup_kimg > 0:
+        print(f"Resume lr rampup: 0 -> base over {resume_lrate_rampup_kimg:g}"
+              f" kimg past {resume_kimg:.1f} (fresh Adam moments)")
 
     from ..utils.network_util import print_layers
     print_layers({"mapping": state.g_params["mapping"],
@@ -380,6 +402,11 @@ def training_loop(
         sched = training_schedule(cur_nimg=cur_nimg,
                                   resolution_log2=training_set.resolution_log2,
                                   **sched_args)
+        if resume_state_params is not None and resume_lrate_rampup_kimg > 0:
+            ramp = resume_rampup_scale(cur_nimg / 1000.0, resume_kimg,
+                                       resume_lrate_rampup_kimg)
+            sched.G_lrate *= ramp
+            sched.D_lrate *= ramp
         mb = sched.minibatch_size
         assert data_size % (mb * 2) == 0, (data_size, mb)
 
@@ -409,6 +436,12 @@ def training_loop(
             base_key, step_key = jax.random.split(base_key)
             gs_beta = (0.5 ** (mb / (G_smoothing_kimg * 1000.0))
                        if G_smoothing_kimg > 0 else 0.0)
+            if resume_state_params is not None \
+                    and resume_lrate_rampup_kimg > 0 and G_smoothing_kimg > 0:
+                # beta**ramp: frozen EMA at ramp 0, half-life stretched
+                # 1/ramp× until the lr warmup completes
+                gs_beta = gs_beta ** resume_rampup_scale(
+                    cur_nimg / 1000.0, resume_kimg, resume_lrate_rampup_kimg)
             state, scalars = train_step(
                 state, batch, step_key, jnp.float32(sched.G_lrate),
                 jnp.float32(sched.D_lrate), jnp.float32(gs_beta),
@@ -440,6 +473,8 @@ def training_loop(
                   f"time {misc.format_time(total_time):<12s} "
                   f"sec/tick {tick_time:<7.1f} "
                   f"sec/kimg {tick_time / max(tick_kimg, 1e-8):<7.2f}")
+            stats.report("Progress/G_lrate", sched.G_lrate)
+            stats.report("Progress/D_lrate", sched.D_lrate)
             stats.report("Timing/sec_per_tick", tick_time)
             stats.report("Timing/sec_per_kimg", tick_time / max(tick_kimg, 1e-8))
             # device memory telemetry (reference peak-GPU-mem autosummary,

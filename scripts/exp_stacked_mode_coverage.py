@@ -57,6 +57,16 @@ def main():
                         "after a VM wipe destroyed the orbax copies "
                         "(restarts optimizer state, reference "
                         "--resume-pkl semantics)")
+    p.add_argument("--resume-rampup-kimg", type=float, default=0.0,
+                   help="warm Adam back up after --resume-pkl: linear lr "
+                        "ramp over this many kimg past the resume point "
+                        "(weights-only resumes restart the moments; a "
+                        "full-lr first step collapses modes — BENCH_NOTES)")
+    p.add_argument("--resume-g-from-gs", action="store_true",
+                   help="start training G from the snapshot's Gs (EMA) "
+                        "weights — the averaged point is the better model; "
+                        "without it the EMA decays to the raw G's quality "
+                        "within ~3 half-lives after a resume")
     p.add_argument("--resume-staleness", type=int, default=None,
                    help="override restored IMLE staleness on resume "
                         "(smaller = more frequent re-anchoring retrievals)")
@@ -136,6 +146,8 @@ def main():
         resume_pkl=args.resume_pkl,
         resume_checkpoint=args.resume_checkpoint,
         resume_staleness=args.resume_staleness,
+        resume_lrate_rampup_kimg=args.resume_rampup_kimg,
+        resume_g_from_gs=args.resume_g_from_gs,
         num_devices=1,
         smoke_test_max_iters=args.smoke or None,
         save_full_checkpoints=True,

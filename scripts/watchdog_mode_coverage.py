@@ -117,6 +117,16 @@ def main():
                         "checkpoint of its own")
     p.add_argument("--fallback-count", type=int, default=0,
                    help="mode count of --fallback-checkpoint")
+    p.add_argument("--fallback-pkl", default=None,
+                   help="weights-only snapshot (e.g. the git-mirrored fp16 "
+                        "best from scripts/restore_best_weights.py) used "
+                        "when no orbax checkpoint beats it; relaunches with "
+                        "--resume-pkl + --resume-rampup-kimg so the fresh "
+                        "Adam moments warm up instead of knocking modes off")
+    p.add_argument("--fallback-pkl-count", type=int, default=0,
+                   help="mode count of --fallback-pkl")
+    p.add_argument("--resume-rampup-kimg", type=float, default=40.0,
+                   help="lr warmup span for --fallback-pkl relaunches")
     p.add_argument("--exp-script",
                    default="scripts/exp_stacked_mode_coverage.py",
                    help="trainer entry point (stub-able for dry drives)")
@@ -135,8 +145,12 @@ def main():
     root = args.result_root
     run_dir = os.path.abspath(args.run_dir)
     d_lrate, rec_weight = args.d_lrate, args.rec_weight
-    # global best across all supervised runs: (count, checkpoint_path)
-    best = (args.fallback_count, args.fallback_checkpoint)
+    # global best across all supervised runs: (count, path, kind).
+    # kind 'ckpt' = orbax full state (--resume-checkpoint); kind 'pkl' =
+    # weights-only snapshot (--resume-pkl + lr rampup, fresh Adam moments)
+    best = (args.fallback_count, args.fallback_checkpoint, "ckpt")
+    if args.fallback_pkl and args.fallback_pkl_count >= best[0]:
+        best = (args.fallback_pkl_count, args.fallback_pkl, "pkl")
     relaunches = 0
     seen = 0
     child = None  # Popen of a trainer WE launched (poll() reaps; os.kill(0)
@@ -145,16 +159,23 @@ def main():
     log(root, f"watchdog start: run_dir={run_dir} d_lrate={d_lrate} "
               f"rec_weight={rec_weight} target>={args.target}")
 
-    def relaunch(from_ckpt, reason):
+    def relaunch(src, reason):
         nonlocal run_dir, relaunches, seen, child, we_aborted
+        from_ckpt, kind = src
         we_aborted = False  # the new run dir starts clean
         relaunches += 1
         if relaunches > args.max_relaunches:
             log(root, f"max relaunches ({args.max_relaunches}) reached; "
                       "watchdog exiting")
             sys.exit(0)
-        resume = (f"--resume-checkpoint {from_ckpt} --resume-staleness 1 "
-                  if from_ckpt else "")
+        if from_ckpt and kind == "pkl":
+            resume = (f"--resume-pkl {from_ckpt} --resume-staleness 1 "
+                      f"--resume-rampup-kimg {args.resume_rampup_kimg:g} "
+                      f"--resume-g-from-gs ")
+        elif from_ckpt:
+            resume = f"--resume-checkpoint {from_ckpt} --resume-staleness 1 "
+        else:
+            resume = ""
         cmd = (f"{sys.executable} {args.exp_script} "
                f"{args.launch_args} {resume}--d-lrate {d_lrate:g} "
                f"--rec-weight {rec_weight:g}")
@@ -192,7 +213,7 @@ def main():
             if count > best[0]:
                 ck = checkpoint_for_kimg(run_dir, kimg)
                 if ck:
-                    best = (count, ck)
+                    best = (count, ck, "ckpt")
         seen = len(entries)
 
         try:
@@ -234,25 +255,27 @@ def main():
             while _alive() and time.time() < deadline:
                 time.sleep(5)
             d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
-            relaunch(best[1], f"collapse to {latest[1]}")
+            relaunch(best[1:], f"collapse to {latest[1]}")
         elif not alive:
             if os.path.exists(os.path.join(run_dir, "_finished.txt")) \
                     and not collapsed:
                 err = [n for n in os.listdir(run_dir)
                        if n.endswith("-error.txt")]
                 if err:
-                    ck = latest_checkpoint(run_dir) or best[1]
-                    relaunch(ck, f"crash ({err[0]})")
+                    ck = latest_checkpoint(run_dir)
+                    relaunch((ck, "ckpt") if ck else best[1:],
+                             f"crash ({err[0]})")
                 else:
                     log(root, "run finished cleanly (total_kimg or abort); "
                               "watchdog exiting")
                     sys.exit(0)
             elif collapsed:
                 d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
-                relaunch(best[1], f"exited collapsed ({latest[1]})")
+                relaunch(best[1:], f"exited collapsed ({latest[1]})")
             else:
-                ck = latest_checkpoint(run_dir) or best[1]
-                relaunch(ck, "process vanished without sentinel")
+                ck = latest_checkpoint(run_dir)
+                relaunch((ck, "ckpt") if ck else best[1:],
+                         "process vanished without sentinel")
 
 
 if __name__ == "__main__":

@@ -78,6 +78,15 @@ def test_training_schedule_rampup():
     assert abs(s.G_lrate - 0.001) < 1e-9
 
 
+def test_resume_rampup_scale():
+    from inclusivegan_tpu.training.schedule import resume_rampup_scale
+    assert resume_rampup_scale(301.0, 301.0, 20.0) == 0.0
+    assert abs(resume_rampup_scale(311.0, 301.0, 20.0) - 0.5) < 1e-9
+    assert resume_rampup_scale(400.0, 301.0, 20.0) == 1.0
+    assert resume_rampup_scale(0.0, 301.0, 20.0) == 0.0    # clamped below
+    assert resume_rampup_scale(5.0, 301.0, 0.0) == 1.0     # disabled
+
+
 def test_submit_run_harness(tmp_path):
     sc = SubmitConfig(run_dir_root=str(tmp_path / "results"), run_desc="t")
     result = submit_run(sc, "tests.test_loss_and_utils._dummy_run_func",
