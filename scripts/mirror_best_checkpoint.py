@@ -122,10 +122,15 @@ def main():
                    help="in-repo fp16 copy of the best (G,D,Gs) snapshot; "
                         "lets a later session resume near the peak after a "
                         "VM wipe (restore_best_weights.py)")
-    p.add_argument("--weights-min-gain", type=int, default=15,
+    p.add_argument("--weights-min-gain", type=int, default=10,
                    help="only rewrite the ~120 MB weights mirror when the "
                         "mode count improves by at least this much (each "
                         "committed rewrite grows git history)")
+    p.add_argument("--target", type=int, default=997,
+                   help="north-star mode count: any improvement at or above "
+                        "this ALWAYS refreshes the weights mirror, min-gain "
+                        "notwithstanding (the winning weights must land in "
+                        "the git tree)")
     p.add_argument("--poll-sec", type=float, default=120.0)
     p.add_argument("--once", action="store_true")
     args = p.parse_args()
@@ -173,7 +178,8 @@ def main():
                           f"{args.record_file}", flush=True)
                 except OSError as e:
                     print(f"record write failed ({e})", flush=True)
-            if count >= weights_count + args.weights_min_gain:
+            if (count >= weights_count + args.weights_min_gain
+                    or (count >= args.target and count > weights_count)):
                 try:
                     if mirror_weights(run_dir, kimg, count, kl,
                                       args.weights_file):
