@@ -169,9 +169,14 @@ def main():
                       "watchdog exiting")
             sys.exit(0)
         if from_ckpt and kind == "pkl":
+            # NO --resume-g-from-gs: starting G from the EMA weights scores
+            # higher on the first eval (942 vs 919 @321) but breaks the G/D
+            # adversarial equilibrium once the lr rampup ends — measured
+            # collapse 942->726 by 361 kimg (run 00011) where the plain
+            # resume recovered (919->878->909, run 00003). Escalated knobs
+            # do not rescue a bad resume either (00001: 508 @341).
             resume = (f"--resume-pkl {from_ckpt} --resume-staleness 1 "
-                      f"--resume-rampup-kimg {args.resume_rampup_kimg:g} "
-                      f"--resume-g-from-gs ")
+                      f"--resume-rampup-kimg {args.resume_rampup_kimg:g} ")
         elif from_ckpt:
             resume = f"--resume-checkpoint {from_ckpt} --resume-staleness 1 "
         else:
