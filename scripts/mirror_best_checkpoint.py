@@ -20,6 +20,7 @@ import os
 import pickle
 import re
 import shutil
+import subprocess
 import time
 
 # must precede the numpy import: on this VM class numpy's hugepage madvise
@@ -108,6 +109,37 @@ def mirror_weights(run_dir, kimg, count, kl, weights_file):
     return True
 
 
+def commit_mirrors(paths, count, kimg):
+    """git-commit the in-repo mirror files (best-effort, never raises).
+
+    Restricted to the given paths so a concurrent interactive commit of
+    other work is never swept in.
+    """
+    paths = [os.path.abspath(p) for p in paths if os.path.isfile(p)]
+    if not paths:
+        return
+    try:
+        repo = subprocess.run(
+            ["git", "-C", os.path.dirname(paths[0]), "rev-parse",
+             "--show-toplevel"],
+            check=True, capture_output=True, text=True,
+            timeout=60).stdout.strip()
+        subprocess.run(["git", "-C", repo, "add", "--"] + paths,
+                       check=True, capture_output=True, timeout=60)
+        r = subprocess.run(
+            ["git", "-C", repo, "commit",
+             "-m", f"Mirror artifacts: {count}/1000 modes @ {kimg:.0f} kimg",
+             "--"] + paths,
+            capture_output=True, timeout=60)
+        if r.returncode == 0:
+            print(f"committed mirror ({count} modes @ {kimg:.0f} kimg)",
+                  flush=True)
+        # nonzero = nothing to commit or a lock race; both fine to skip
+    except (OSError, subprocess.SubprocessError) as e:
+        print(f"mirror git commit failed ({e}); files remain staged",
+              flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--result-root", default="/root/repo/results")
@@ -133,6 +165,10 @@ def main():
                         "the git tree)")
     p.add_argument("--poll-sec", type=float, default=120.0)
     p.add_argument("--once", action="store_true")
+    p.add_argument("--git-commit", action="store_true",
+                   help="git-commit the in-repo mirrors after each refresh "
+                        "(results/ and /tmp are wiped by VM restarts; only "
+                        "COMMITTED bytes reliably survive)")
     args = p.parse_args()
 
     os.makedirs(args.backup_dir, exist_ok=True)
@@ -188,6 +224,9 @@ def main():
                             json.dump({"count": count, "kl": kl,
                                        "kimg": kimg, "src_run": run_dir,
                                        "ts": time.time()}, f, indent=1)
+                        if args.git_commit:
+                            commit_mirrors([args.weights_file, weights_stamp,
+                                            args.record_file], count, kimg)
                 except (OSError, pickle.PickleError) as e:
                     print(f"weights mirror failed ({e}); will retry",
                           flush=True)

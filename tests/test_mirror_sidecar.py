@@ -104,3 +104,32 @@ def test_no_rewrite_without_improvement_at_target(tmp_path):
 def test_first_mirror_with_no_stamp(tmp_path):
     refreshed, rec, _ = _run_once(str(tmp_path), None, 600)
     assert refreshed and rec == 600
+
+
+def test_git_commit_of_refreshed_mirror(tmp_path, sidecar):
+    # the weights mirror lives in a git repo: a refresh with --git-commit
+    # semantics must land exactly the mirror files in a commit
+    repo = tmp_path / "repo"
+    art = repo / "artifacts"
+    art.mkdir(parents=True)
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "PATH": os.environ["PATH"], "HOME": str(tmp_path)}
+    subprocess.run(["git", "init", "-q", str(repo)], check=True, env=env)
+    w = art / "best.pkl"
+    w.write_bytes(b"x")
+    stamp = art / "best.pkl.json"
+    stamp.write_text("{}")
+    unrelated = repo / "scratch.txt"          # must NOT be swept in
+    unrelated.write_text("wip")
+    os.environ.update(env)
+    sidecar.commit_mirrors([str(w), str(stamp), str(art / "missing.json")],
+                           973, 412.0)
+    log = subprocess.run(["git", "-C", str(repo), "log", "--oneline",
+                          "--name-only"], capture_output=True, text=True,
+                         env=env).stdout
+    assert "973/1000 modes @ 412 kimg" in log
+    assert "best.pkl" in log and "scratch.txt" not in log
+    status = subprocess.run(["git", "-C", str(repo), "status", "--short"],
+                            capture_output=True, text=True, env=env).stdout
+    assert "scratch.txt" in status            # left untracked, uncommitted
