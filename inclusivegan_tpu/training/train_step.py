@@ -412,17 +412,21 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
     num_dev = mesh.devices.size
 
     def train_step(state, batch, rng, g_lrate, d_lrate, gs_beta, *,
-                   do_g_reg: bool, do_d_reg: bool):
+                   do_g_reg: bool, do_d_reg: bool, rec_weight=None):
         """One full iteration = the reference's four session.run calls
-        (training_loop.py:474-479)."""
+        (training_loop.py:474-479). ``rec_weight`` overrides
+        cfg.NN_rec_lpips_weight per call; it feeds a traced scalar so a
+        schedule (e.g. ramping the IMLE anchor up late in training) costs
+        no recompiles."""
         k1, k2, k3, k4 = random.split(rng, 4)
         batch_g = {k: batch[k] for k in
                    ("reals_rec_1", "labels_rec_1", "latents_rec_1",
                     "reals_rec_2", "labels_rec_2", "latents_rec_2")}
         batch_d = {"reals": batch["reals"], "labels": batch["labels"]}
         scalars = {}
-        state, s = g_step(state, batch_g, k1, g_lrate,
-                          jnp.float32(cfg.NN_rec_lpips_weight))
+        rec_w = (cfg.NN_rec_lpips_weight if rec_weight is None
+                 else rec_weight)
+        state, s = g_step(state, batch_g, k1, g_lrate, jnp.float32(rec_w))
         scalars.update(s)
         if do_g_reg:
             local_mb = batch["latents_rec_1"].shape[0] // num_dev

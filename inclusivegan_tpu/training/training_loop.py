@@ -151,6 +151,14 @@ def training_loop(
     knn_backend: str = "auto",
     candidate_batch_size: int = 256,
     exclusive_retrieved_code: int = 0,
+    rec_weight_final: Optional[float] = None,  # schedule the IMLE anchor
+    # NN_rec_lpips_weight from its base (G_loss_args) toward this value,
+    # linearly over [rec_weight_ramp_start_kimg, rec_weight_ramp_end_kimg].
+    # rec weight is a traced scalar (train_step.py), so the ramp costs no
+    # recompiles. Ramping the anchor UP late counters the measured late-
+    # training mode decay (BENCH_NOTES mode-coverage post-mortems).
+    rec_weight_ramp_start_kimg: float = 0.0,
+    rec_weight_ramp_end_kimg: float = 0.0,
     dist_thres_percentile: float = 100.0,
     attr_interesting: Optional[str] = None,
     lpips_weights_path: Optional[str] = None,
@@ -442,10 +450,17 @@ def training_loop(
                 # 1/ramp× until the lr warmup completes
                 gs_beta = gs_beta ** resume_rampup_scale(
                     cur_nimg / 1000.0, resume_kimg, resume_lrate_rampup_kimg)
+            rec_w = None
+            if rec_weight_final is not None:
+                lo, hi = rec_weight_ramp_start_kimg, rec_weight_ramp_end_kimg
+                t = 1.0 if hi <= lo else float(np.clip(
+                    (cur_nimg / 1000.0 - lo) / (hi - lo), 0.0, 1.0))
+                rec_w = (1.0 - t) * cfg.NN_rec_lpips_weight \
+                    + t * rec_weight_final
             state, scalars = train_step(
                 state, batch, step_key, jnp.float32(sched.G_lrate),
                 jnp.float32(sched.D_lrate), jnp.float32(gs_beta),
-                do_g_reg=run_G_reg, do_d_reg=run_D_reg)
+                do_g_reg=run_G_reg, do_d_reg=run_D_reg, rec_weight=rec_w)
 
             cur_nimg += mb
             running_mb_counter += 1

@@ -76,6 +76,19 @@ def main():
                    help="R1 gradient-penalty weight")
     p.add_argument("--rec-weight", type=float, default=2.5,
                    help="NN_rec_lpips_weight")
+    p.add_argument("--rec-weight-final", type=float, default=None,
+                   help="ramp NN_rec_lpips_weight linearly from --rec-weight "
+                        "to this value over [--rec-weight-ramp-start, "
+                        "--rec-weight-ramp-end] kimg (traced scalar: no "
+                        "recompiles). Ramping the IMLE anchor up late "
+                        "counters the measured late-training mode decay")
+    p.add_argument("--rec-weight-ramp-start", type=float, default=0.0)
+    p.add_argument("--rec-weight-ramp-end", type=float, default=0.0)
+    p.add_argument("--exclusive-retrieved-code", type=int, default=0,
+                   help="reference training_loop.py:382-396 — each real "
+                        "gets a DIFFERENT retrieved candidate latent "
+                        "(greedy exclusive assignment over the top-k), "
+                        "forcing candidate diversity in the IMLE anchor")
     p.add_argument("--lpips-weights", default=None,
                    help="npz for models/lpips.py::load_lpips_params — e.g. "
                         "the domain perceptual net from "
@@ -137,7 +150,10 @@ def main():
         num_samples_factor=args.num_samples_factor,
         knn_perturb_factor=0.05,
         candidate_batch_size=args.candidate_batch_size,
-        exclusive_retrieved_code=0,
+        exclusive_retrieved_code=args.exclusive_retrieved_code,
+        rec_weight_final=args.rec_weight_final,
+        rec_weight_ramp_start_kimg=args.rec_weight_ramp_start,
+        rec_weight_ramp_end_kimg=args.rec_weight_ramp_end,
         dist_thres_percentile=100.0,
         attr_interesting=None,
         lpips_weights_path=args.lpips_weights,
