@@ -52,6 +52,9 @@ def setup_snapshot_image_grid(dataset, size="1080p"):
     if size == "4k":
         gw = np.clip(3840 // dataset.shape[2], 7, 32)
         gh = np.clip(2160 // dataset.shape[1], 4, 32)
+    if size == "8k":
+        gw = np.clip(7680 // dataset.shape[2], 7, 32)
+        gh = np.clip(4320 // dataset.shape[1], 4, 32)
     reals, labels = dataset.get_minibatch_np(gw * gh)
     return (gw, gh), reals, labels
 
@@ -205,6 +208,7 @@ def training_loop(
 
     # ------------------------------------------------------------ networks
     resume_kimg = 0.0
+    resume_time = 0.0  # prior wall-clock seconds (reference misc.py:147-161)
     resume_state_params = None
     if resume_pkl is None:
         print("Constructing networks...")
@@ -218,7 +222,7 @@ def training_loop(
     else:
         print(f'Loading networks from "{resume_pkl}"...')
         G, D, resume_state_params = load_snapshot(resume_pkl)
-        resume_kimg, _ = misc.parse_kimg_time_from_log(
+        resume_kimg, resume_time = misc.parse_kimg_time_from_log(
             os.path.join(os.path.dirname(resume_pkl), "log.txt"))
 
     lpips_params = get_lpips_params(lpips_weights_path)
@@ -377,7 +381,9 @@ def training_loop(
     cur_tick = -1
     tick_start_nimg = cur_nimg
     tick_start_time = time.time()
-    train_start_time = tick_start_time - resume_kimg  # approximate
+    # offset by the prior run's elapsed seconds so the printed `time`
+    # column continues across resumes (reference training_loop.py:330)
+    train_start_time = tick_start_time - resume_time
     running_mb_counter = 0
     base_key = jax.random.key(seed + 11)
     iters_done = 0

@@ -118,14 +118,17 @@ def commit_mirrors(paths, count, kimg):
     paths = [os.path.abspath(p) for p in paths if os.path.isfile(p)]
     if not paths:
         return
+    step = "rev-parse"
     try:
         repo = subprocess.run(
             ["git", "-C", os.path.dirname(paths[0]), "rev-parse",
              "--show-toplevel"],
             check=True, capture_output=True, text=True,
             timeout=60).stdout.strip()
+        step = "add"
         subprocess.run(["git", "-C", repo, "add", "--"] + paths,
                        check=True, capture_output=True, timeout=60)
+        step = "commit"
         r = subprocess.run(
             ["git", "-C", repo, "commit",
              "-m", f"Mirror artifacts: {count}/1000 modes @ {kimg:.0f} kimg",
@@ -136,8 +139,7 @@ def commit_mirrors(paths, count, kimg):
                   flush=True)
         # nonzero = nothing to commit or a lock race; both fine to skip
     except (OSError, subprocess.SubprocessError) as e:
-        print(f"mirror git commit failed ({e}); files remain staged",
-              flush=True)
+        print(f"mirror git {step} failed ({e})", flush=True)
 
 
 def main():
@@ -212,6 +214,11 @@ def main():
                         json.dump(recorded, f, indent=1)
                     print(f"recorded best {count} modes @ {kimg} kimg -> "
                           f"{args.record_file}", flush=True)
+                    # the record is tiny: commit EVERY improvement, not just
+                    # the hysteresis-gated weights refreshes below — only
+                    # committed bytes survive a VM restart
+                    if args.git_commit:
+                        commit_mirrors([args.record_file], count, kimg)
                 except OSError as e:
                     print(f"record write failed ({e})", flush=True)
             if (count >= weights_count + args.weights_min_gain

@@ -4,14 +4,17 @@
 Polls the active run's ``metric-mode_counts_24k.txt`` (written by the
 in-training metric tick) and the trainer PID, and reacts:
 
-  * **collapse** (mode count drops >``--drop-threshold`` below the observed
-    peak once the peak is past ``--min-peak``): cooperatively stops the run
-    (``abort.txt``, the reference's own stop mechanism), waits for the
-    ``_finished.txt`` sentinel, then relaunches
-    ``scripts/exp_stacked_mode_coverage.py`` from the orbax checkpoint of
-    the best-scoring snapshot with *escalated* stabilizer knobs
-    (D lrate halved and rec weight raised per level, staleness re-anchored
-    to 1).
+  * **collapse** (mode count drops >``--drop-threshold`` below the run's
+    OWN observed peak once that peak is past ``--min-peak``): cooperatively
+    stops the run (``abort.txt``, the reference's own stop mechanism), waits
+    for the ``_finished.txt`` sentinel, then relaunches
+    ``scripts/exp_stacked_mode_coverage.py`` from the best-scoring snapshot
+    at the SAME base knobs, staleness re-anchored to 1. Collapse is judged
+    against the run's own peak, not the global best: a fresh or resumed run
+    legitimately evals below the all-time peak early (measured 874-952 on
+    the first post-resume eval, 433 on a from-scratch first eval), and the
+    2026-08-19 ladder (d-lr /2 + rec x1.6 per relaunch, judged vs global
+    962) burned four 30-min cycles without ever beating the base recipe.
   * **crash / silent exit** (PID gone without reaching total_kimg): relaunch
     from the latest checkpoint at the current escalation level.
   * **north star** (count >= ``--target``): logged; training continues (all
@@ -231,9 +234,10 @@ def main():
             alive = pid_alive(pid)
 
         latest = entries[-1] if entries else None
-        peak = max([c for _, c, _ in entries] + [best[0]])
-        collapsed = (latest is not None and peak >= args.min_peak
-                     and peak - latest[1] > args.drop_threshold)
+        # collapse is relative to the run's OWN peak (see module docstring)
+        own_peak = max([c for _, c, _ in entries], default=0)
+        collapsed = (latest is not None and own_peak >= args.min_peak
+                     and own_peak - latest[1] > args.drop_threshold)
 
         # an abort.txt WE did not write is an external stop (bench.py
         # yields the chip this way at round end; or the operator) — never
@@ -245,7 +249,7 @@ def main():
                 log(root, "external abort honored; watchdog exiting")
                 sys.exit(0)
         elif collapsed and alive:
-            log(root, f"collapse: latest {latest[1]} vs peak {peak}; "
+            log(root, f"collapse: latest {latest[1]} vs peak {own_peak}; "
                       f"aborting {run_dir}")
             we_aborted = True
             open(os.path.join(run_dir, "abort.txt"), "w").close()
@@ -259,7 +263,10 @@ def main():
                 return pid_alive(pid)
             while _alive() and time.time() < deadline:
                 time.sleep(5)
-            d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
+            # base knobs, no escalation: measured twice (BENCH_NOTES
+            # resume-recipe A/B + the 2026-08-19 ladder) that escalated
+            # d-lr/rec-weight does not rescue a collapse and the plain
+            # resume recipe does
             relaunch(best[1:], f"collapse to {latest[1]}")
         elif not alive:
             if os.path.exists(os.path.join(run_dir, "_finished.txt")) \
@@ -275,7 +282,6 @@ def main():
                               "watchdog exiting")
                     sys.exit(0)
             elif collapsed:
-                d_lrate, rec_weight = d_lrate / 2.0, min(rec_weight * 1.6, 8.0)
                 relaunch(best[1:], f"exited collapsed ({latest[1]})")
             else:
                 ck = latest_checkpoint(run_dir)

@@ -106,7 +106,7 @@ def test_first_mirror_with_no_stamp(tmp_path):
     assert refreshed and rec == 600
 
 
-def test_git_commit_of_refreshed_mirror(tmp_path, sidecar):
+def test_git_commit_of_refreshed_mirror(tmp_path, sidecar, monkeypatch):
     # the weights mirror lives in a git repo: a refresh with --git-commit
     # semantics must land exactly the mirror files in a commit
     repo = tmp_path / "repo"
@@ -122,7 +122,8 @@ def test_git_commit_of_refreshed_mirror(tmp_path, sidecar):
     stamp.write_text("{}")
     unrelated = repo / "scratch.txt"          # must NOT be swept in
     unrelated.write_text("wip")
-    os.environ.update(env)
+    for k, v in env.items():  # undone after the test (no HOME/GIT_* leaks)
+        monkeypatch.setenv(k, v)
     sidecar.commit_mirrors([str(w), str(stamp), str(art / "missing.json")],
                            973, 412.0)
     log = subprocess.run(["git", "-C", str(repo), "log", "--oneline",
