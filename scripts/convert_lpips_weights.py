@@ -25,6 +25,26 @@ _TORCH_FEATURE_IDX = {  # torchvision vgg16.features conv indices
 _TAPS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
 
 
+def convert(vgg_sd, lpips_sd=None):
+    """torchvision vgg16 state_dict (+ optional richzhang LPIPS linear
+    heads) → our npz key layout. Testable core of the CLI."""
+    out = {}
+    for name, idx in _TORCH_FEATURE_IDX.items():
+        w = vgg_sd[f"features.{idx}.weight"].numpy()  # [O,I,kh,kw]
+        out[f"{name}_w"] = np.transpose(w, (2, 3, 1, 0))  # HWIO
+        out[f"{name}_b"] = vgg_sd[f"features.{idx}.bias"].numpy()
+
+    if lpips_sd is not None:
+        for i, tap in enumerate(_TAPS):
+            w = lpips_sd[f"lin{i}.model.1.weight"].numpy()  # [1,C,1,1]
+            out[f"lin_{tap}"] = w.reshape(-1)
+    else:
+        for tap in _TAPS:
+            c = out[f"{tap}_w"].shape[-1]
+            out[f"lin_{tap}"] = np.full((c,), 1.0 / c, np.float32)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--vgg16-pth", required=True,
@@ -36,22 +56,9 @@ def main():
 
     import torch
     sd = torch.load(args.vgg16_pth, map_location="cpu")
-    out = {}
-    for name, idx in _TORCH_FEATURE_IDX.items():
-        w = sd[f"features.{idx}.weight"].numpy()  # [O,I,kh,kw]
-        out[f"{name}_w"] = np.transpose(w, (2, 3, 1, 0))  # HWIO
-        out[f"{name}_b"] = sd[f"features.{idx}.bias"].numpy()
-
-    if args.lpips_pth:
-        lp = torch.load(args.lpips_pth, map_location="cpu")
-        for i, tap in enumerate(_TAPS):
-            w = lp[f"lin{i}.model.1.weight"].numpy()  # [1,C,1,1]
-            out[f"lin_{tap}"] = w.reshape(-1)
-    else:
-        for tap in _TAPS:
-            c = out[f"{tap}_w"].shape[-1]
-            out[f"lin_{tap}"] = np.full((c,), 1.0 / c, np.float32)
-
+    lp = (torch.load(args.lpips_pth, map_location="cpu")
+          if args.lpips_pth else None)
+    out = convert(sd, lp)
     np.savez(args.out, **out)
     print(f"saved {args.out} with {len(out)} arrays")
 
