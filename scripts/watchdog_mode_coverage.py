@@ -81,6 +81,22 @@ def latest_checkpoint(run_dir):
     return os.path.join(cdir, max(steps, key=lambda n: int(n[len("step_"):])))
 
 
+def earlier_checkpoint(ckpt_path, steps_back=1):
+    """The checkpoint ``steps_back`` snapshots before ``ckpt_path`` in the
+    same run's checkpoints dir, or None if there is none."""
+    cdir = os.path.dirname(ckpt_path)
+    if not os.path.isdir(cdir):
+        return None
+    steps = sorted(n for n in os.listdir(cdir) if n.startswith("step_"))
+    try:
+        i = steps.index(os.path.basename(ckpt_path))
+    except ValueError:
+        return None
+    if i - steps_back < 0:
+        return None
+    return os.path.join(cdir, steps[i - steps_back])
+
+
 def pid_alive(pid):
     try:
         os.kill(pid, 0)
@@ -159,12 +175,31 @@ def main():
     child = None  # Popen of a trainer WE launched (poll() reaps; os.kill(0)
     # on an unreaped child zombie would report it alive forever)
     we_aborted = False  # wrote abort.txt into the current run_dir ourselves
+    # doom-loop breaker: resumes are deterministic (same checkpoint + same
+    # knobs reproduce the SAME collapse — measured 3x identical 741->41
+    # trajectories from 00007/step_00662728 on 2026-08-19), so a source that
+    # collapsed twice is burned: step back one snapshot per extra failure
+    # instead of relaunching it verbatim forever.
+    fail_counts = {}
+    cur_src = args.fallback_checkpoint  # what the supervised run resumed from
     log(root, f"watchdog start: run_dir={run_dir} d_lrate={d_lrate} "
               f"rec_weight={rec_weight} target>={args.target}")
 
     def relaunch(src, reason):
-        nonlocal run_dir, relaunches, seen, child, we_aborted
+        nonlocal run_dir, relaunches, seen, child, we_aborted, cur_src
         from_ckpt, kind = src
+        if from_ckpt and kind == "ckpt":
+            while from_ckpt and fail_counts.get(from_ckpt, 0) >= 2:
+                prev = earlier_checkpoint(from_ckpt)
+                log(root, f"source {from_ckpt} collapsed "
+                          f"{fail_counts[from_ckpt]}x; stepping back to "
+                          f"{prev}")
+                from_ckpt = prev
+            if from_ckpt is None:
+                log(root, "no un-burned checkpoint left to resume from; "
+                          "watchdog exiting")
+                sys.exit(1)
+        cur_src = from_ckpt
         we_aborted = False  # the new run dir starts clean
         relaunches += 1
         if relaunches > args.max_relaunches:
@@ -263,6 +298,8 @@ def main():
                 return pid_alive(pid)
             while _alive() and time.time() < deadline:
                 time.sleep(5)
+            if cur_src:
+                fail_counts[cur_src] = fail_counts.get(cur_src, 0) + 1
             # base knobs, no escalation: measured twice (BENCH_NOTES
             # resume-recipe A/B + the 2026-08-19 ladder) that escalated
             # d-lr/rec-weight does not rescue a collapse and the plain
@@ -282,6 +319,8 @@ def main():
                               "watchdog exiting")
                     sys.exit(0)
             elif collapsed:
+                if cur_src:
+                    fail_counts[cur_src] = fail_counts.get(cur_src, 0) + 1
                 relaunch(best[1:], f"exited collapsed ({latest[1]})")
             else:
                 ck = latest_checkpoint(run_dir)
