@@ -89,6 +89,10 @@ def main():
                         "gets a DIFFERENT retrieved candidate latent "
                         "(greedy exclusive assignment over the top-k), "
                         "forcing candidate diversity in the IMLE anchor")
+    p.add_argument("--seed", type=int, default=1000,
+                   help="training_loop seed (np + all jax keys). Fresh runs "
+                        "at identical knobs are DETERMINISTIC, so restart "
+                        "lotteries must vary this")
     p.add_argument("--lpips-weights", default=None,
                    help="npz for models/lpips.py::load_lpips_params — e.g. "
                         "the domain perceptual net from "
@@ -141,6 +145,7 @@ def main():
         grid_args=EasyDict(size="1080p"),
         metric_arg_list=metrics,
         data_dir=args.data_dir,
+        seed=args.seed,
         total_kimg=args.data_size * args.num_epochs // 1000,
         mirror_augment=False,
         data_size=args.data_size,

@@ -146,6 +146,15 @@ def main():
                    help="mode count of --fallback-pkl")
     p.add_argument("--resume-rampup-kimg", type=float, default=40.0,
                    help="lr warmup span for --fallback-pkl relaunches")
+    p.add_argument("--relaunch-fresh", action="store_true",
+                   help="lottery mode: on collapse, relaunch FROM SCRATCH "
+                        "with a new --seed instead of resuming a checkpoint. "
+                        "Motivated by the 2026-08-19 history: every resume "
+                        "family decays below its source's peak, while fresh "
+                        "runs hold the peak record (994 @622)")
+    p.add_argument("--base-seed", type=int, default=1000,
+                   help="seed of the CURRENT supervised run; fresh "
+                        "relaunches use base_seed + 1000*relaunch_index")
     p.add_argument("--exp-script",
                    default="scripts/exp_stacked_mode_coverage.py",
                    help="trainer entry point (stub-able for dry drives)")
@@ -178,8 +187,8 @@ def main():
     # doom-loop breaker: resumes are deterministic (same checkpoint + same
     # knobs reproduce the SAME collapse — measured 3x identical 741->41
     # trajectories from 00007/step_00662728 on 2026-08-19), so a source that
-    # collapsed twice is burned: step back one snapshot per extra failure
-    # instead of relaunching it verbatim forever.
+    # collapsed ONCE is burned: step back one snapshot per failure instead
+    # of relaunching it verbatim even once.
     fail_counts = {}
     cur_src = args.fallback_checkpoint  # what the supervised run resumed from
     log(root, f"watchdog start: run_dir={run_dir} d_lrate={d_lrate} "
@@ -188,8 +197,10 @@ def main():
     def relaunch(src, reason):
         nonlocal run_dir, relaunches, seen, child, we_aborted, cur_src
         from_ckpt, kind = src
+        if args.relaunch_fresh:
+            from_ckpt, kind = None, "ckpt"
         if from_ckpt and kind == "ckpt":
-            while from_ckpt and fail_counts.get(from_ckpt, 0) >= 2:
+            while from_ckpt and fail_counts.get(from_ckpt, 0) >= 1:
                 prev = earlier_checkpoint(from_ckpt)
                 log(root, f"source {from_ckpt} collapsed "
                           f"{fail_counts[from_ckpt]}x; stepping back to "
@@ -219,9 +230,11 @@ def main():
             resume = f"--resume-checkpoint {from_ckpt} --resume-staleness 1 "
         else:
             resume = ""
+        seed_arg = (f"--seed {args.base_seed + 1000 * relaunches} "
+                    if args.relaunch_fresh else "")
         cmd = (f"{sys.executable} {args.exp_script} "
-               f"{args.launch_args} {resume}--d-lrate {d_lrate:g} "
-               f"--rec-weight {rec_weight:g}")
+               f"{args.launch_args} {resume}{seed_arg}"
+               f"--d-lrate {d_lrate:g} --rec-weight {rec_weight:g}")
         log(root, f"relaunch #{relaunches} ({reason}): {cmd}")
         t0 = time.time()
         proc = subprocess.Popen(
