@@ -52,6 +52,23 @@ _KNN_CAND_CHUNK = 65536     # scores buffer = QUERY_CHUNK x CAND_CHUNK f32
 _KNN_QUERY_CHUNK = 8192
 _EXACT_KNN_HBM_BUDGET = 4 << 30  # candidate-feature bytes
 
+# Host-DCI construction cost model, fitted by scripts/bench_dci_build.py on
+# one core at the production index shape (dim 128, 3x15 tables, 2 levels):
+# t = 1.22e-3 * n**0.907 seconds (n = 8k..131k measured, r^2 > 0.99;
+# extrapolates to ~12.5 min at the 2.4M-candidate 240k regime). Used to
+# route `auto` and to gate an explicit `dci` request with a loud warning
+# instead of letting it silently stall training for an unknown time.
+_DCI_BUILD_COEF = 1.22e-3
+_DCI_BUILD_EXP = 0.907
+_DCI_BUILD_BUDGET_S = 900.0
+
+
+def estimate_dci_build_seconds(n: int) -> float:
+    """Projected host-DCI index construction time for an n-point pool."""
+    cores = max(os.cpu_count() or 1, 1)
+    # the assignment loop is OpenMP-parallel; assume ~70% scaling efficiency
+    return _DCI_BUILD_COEF * float(n) ** _DCI_BUILD_EXP / (0.3 + 0.7 * cores)
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _knn_topk(qfeats, cand3, cnorm3, base3, k):
@@ -258,6 +275,29 @@ class IMLEOrchestrator:
             self._rebuild_exact(generate_images, rec_dataset, verbose,
                                 generate_features)
             return
+
+        # Host-DCI path: route by projected construction cost, not hope.
+        est = estimate_dci_build_seconds(n)
+        if est > _DCI_BUILD_BUDGET_S:
+            if self.knn_backend == "dci":
+                print(f"WARNING: host-DCI index build for {n:,} candidates "
+                      f"is projected to take ~{est / 60:.0f} min on this "
+                      f"host (fitted model, scripts/bench_dci_build.py); "
+                      f"training stalls for the duration. Reduce "
+                      f"init_proj_dim so the exact device backend fits its "
+                      f"{_EXACT_KNN_HBM_BUDGET >> 30} GiB HBM budget if "
+                      f"that is unacceptable.", flush=True)
+            else:  # auto, and exact does not fit HBM either
+                raise RuntimeError(
+                    f"knn_backend='auto': candidate features "
+                    f"({n:,} x {self.proj_dim} f32 = "
+                    f"{n * self.proj_dim * 4 / 2**30:.1f} GiB) exceed the "
+                    f"{_EXACT_KNN_HBM_BUDGET >> 30} GiB exact-backend HBM "
+                    f"budget, and the host-DCI fallback is projected at "
+                    f"~{est / 60:.0f} min per rebuild on this host. Either "
+                    f"reduce init_proj_dim (smaller features -> exact fits) "
+                    f"or set knn_backend='dci' explicitly to accept the "
+                    f"host build time.")
 
         feats = np.empty((n, self.proj_dim), np.float64)
         bs = self.candidate_batch_size

@@ -197,3 +197,30 @@ def test_knn_backend_exact_matches_or_beats_dci():
     orch.rebuild(g, ds, verbose=False)
     np.testing.assert_allclose(orch.selected_latents,
                                orch.latent_candidates[bf_ids], atol=1e-6)
+
+
+def test_dci_cost_gate_routes_and_warns(monkeypatch, capsys):
+    """Cost-based routing of the host-DCI fallback (VERDICT r1 item 7):
+    `auto` beyond the HBM budget must fail loudly with guidance instead of
+    silently stalling in a multi-minute host build; an explicit `dci`
+    request proceeds but prints the projected build time."""
+    from inclusivegan_tpu.training import imle as imle_mod
+
+    assert imle_mod.estimate_dci_build_seconds(2_400_000) > \
+        imle_mod.estimate_dci_build_seconds(240_000) > 0
+
+    g = _LinearG()
+    ds = _GeneratedDataset(g, np.random.RandomState(1).randn(DATA, ZDIM))
+
+    # force the gate on tiny pools: no HBM room for exact, zero time budget
+    monkeypatch.setattr(imle_mod, "_EXACT_KNN_HBM_BUDGET", 0)
+    monkeypatch.setattr(imle_mod, "_DCI_BUILD_BUDGET_S", 0.0)
+
+    orch = _orch(knn_backend="auto")
+    with pytest.raises(RuntimeError, match="knn_backend='dci'"):
+        orch.rebuild(g, ds, verbose=False)
+
+    orch = _orch(knn_backend="dci")
+    orch.rebuild(g, ds, verbose=False)  # proceeds despite the projection
+    assert orch.selected_latents is not None
+    assert "projected to take" in capsys.readouterr().out
