@@ -60,13 +60,24 @@ def read_metrics(run_dir):
     return out
 
 
+def _step_dirs(cdir):
+    """Completed orbax step dirs only — in-progress saves appear as
+    ``step_N.orbax-checkpoint-tmp-*`` and must be ignored (a poll racing a
+    save crashed on int-parsing one)."""
+    out = []
+    for name in os.listdir(cdir):
+        if name.startswith("step_") and name[len("step_"):].isdigit():
+            out.append(name)
+    return out
+
+
 def checkpoint_for_kimg(run_dir, kimg):
     """Orbax step dir whose step//1000 == snapshot kimg, if present."""
     cdir = os.path.join(run_dir, "checkpoints")
     if not os.path.isdir(cdir):
         return None
-    for name in sorted(os.listdir(cdir), reverse=True):
-        if name.startswith("step_") and int(name[len("step_"):]) // 1000 == kimg:
+    for name in sorted(_step_dirs(cdir), reverse=True):
+        if int(name[len("step_"):]) // 1000 == kimg:
             return os.path.join(cdir, name)
     return None
 
@@ -75,7 +86,7 @@ def latest_checkpoint(run_dir):
     cdir = os.path.join(run_dir, "checkpoints")
     if not os.path.isdir(cdir):
         return None
-    steps = [n for n in os.listdir(cdir) if n.startswith("step_")]
+    steps = _step_dirs(cdir)
     if not steps:
         return None
     return os.path.join(cdir, max(steps, key=lambda n: int(n[len("step_"):])))
@@ -125,6 +136,11 @@ def main():
     p.add_argument("--target", type=int, default=997)
     p.add_argument("--drop-threshold", type=int, default=100)
     p.add_argument("--min-peak", type=int, default=600)
+    p.add_argument("--min-kimg", type=int, default=100,
+                   help="never judge collapse before this snapshot kimg: "
+                        "fresh runs oscillate hard early (measured 663 @20 "
+                        "-> 290 @40 -> 659 @80 on run 00015) and an abort "
+                        "there throws away a healthy draw")
     p.add_argument("--poll-sec", type=float, default=90.0)
     p.add_argument("--max-relaunches", type=int, default=6)
     p.add_argument("--d-lrate", type=float, default=0.001,
@@ -284,7 +300,8 @@ def main():
         latest = entries[-1] if entries else None
         # collapse is relative to the run's OWN peak (see module docstring)
         own_peak = max([c for _, c, _ in entries], default=0)
-        collapsed = (latest is not None and own_peak >= args.min_peak
+        collapsed = (latest is not None and latest[0] >= args.min_kimg
+                     and own_peak >= args.min_peak
                      and own_peak - latest[1] > args.drop_threshold)
 
         # an abort.txt WE did not write is an external stop (bench.py
