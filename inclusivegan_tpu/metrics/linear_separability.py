@@ -50,22 +50,28 @@ def conditional_entropy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
 class LS(MetricBase):
     def __init__(self, name, num_samples=200000, num_keep=100000,
                  attrib_indices=range(40), minibatch_per_gpu=4,
-                 attribute_classifier=None, **kwargs):
+                 attribute_classifier=None, classifier_weights=None,
+                 **kwargs):
         super().__init__(name)
         self.num_samples = num_samples
         self.num_keep = num_keep
         self.attrib_indices = list(attrib_indices)
         self.minibatch = minibatch_per_gpu
         self.attribute_classifier = attribute_classifier
+        self.classifier_weights = classifier_weights
 
     def _evaluate(self, sampler, dataset_args, data_dir, **kwargs):
         if self.attribute_classifier is None:
-            raise RuntimeError(
-                "linear_separability needs an attribute classifier: pass "
-                "attribute_classifier=callable(images_255)->[N,40] probs "
-                "(images arrive as uint8 in [0,255]; cast before arithmetic) "
-                "(convert the reference's celebahq-classifier pickles, "
-                "linear_separability.py:25-64)")
+            # default scorer: the trained 40-head CNN (one npz instead of
+            # the reference's 40 downloadable pickles, :25-64); warns and
+            # suffixes results when only random-init weights exist
+            from ..models.feature_nets import CelebAAttrClassifier
+            clf = CelebAAttrClassifier(weights_path=self.classifier_weights)
+            if clf.mode != "pretrained":
+                # same impossible-to-miss tagging as mode_counts.py:32
+                self._report_result(1.0, suffix="_untrained_classifier",
+                                    fmt="-1.0f")
+            self.attribute_classifier = clf
         from sklearn import svm
         import jax
         import jax.numpy as jnp
@@ -91,6 +97,12 @@ class LS(MetricBase):
             p = probs[:, attr_idx]
             keep = np.argsort(np.abs(p - 0.5))[-self.num_keep:]
             y = (p[keep] > 0.5).astype(np.int32)
+            if len(np.unique(y)) < 2:
+                # a degenerate attribute (scorer puts every sample on one
+                # side) is perfectly predictable by a constant: H(Y|Y^)=0
+                for space in ("z", "w"):
+                    conditional_entropies[space].append(0.0)
+                continue
             for space, latents in (("z", zs), ("w", ws)):
                 x = latents[keep]
                 clf = svm.LinearSVC(C=0.1, dual="auto")

@@ -162,3 +162,97 @@ class StackedMNISTClassifier:
             flat[f"{name}_w"] = np.asarray(p["w"])
             flat[f"{name}_b"] = np.asarray(p["b"])
         np.savez(path, **flat)
+
+
+# ---------------------------------------------------------------------------
+# CelebA 40-attribute classifier — the LS metric's scorer. The reference
+# downloads 40 separate frozen per-attribute classifiers
+# (/root/reference/metrics/linear_separability.py:25-64); one shared trunk
+# with 40 sigmoid heads covers the same capability in a single npz (train
+# with scripts/train_attr_classifier.py on the synthetic-CelebA dataset).
+# ---------------------------------------------------------------------------
+
+_ATTR_LAYERS = ("conv1", "conv2", "conv3", "conv4", "dense1", "dense2")
+
+
+def init_attr_classifier(rng=None, seed: int = 0, num_attrs: int = 40) -> Dict:
+    """Strided conv trunk 128px -> 8px, global pool, 2 dense layers."""
+    if rng is None:
+        rng = random.key(seed)
+    ks = random.split(rng, 6)
+
+    def he(k, shape):
+        fan_in = int(np.prod(shape[:-1]))
+        return random.normal(k, shape, jnp.float32) * np.sqrt(2.0 / fan_in)
+
+    return {
+        "conv1": {"w": he(ks[0], (3, 3, 3, 32)), "b": jnp.zeros((32,))},
+        "conv2": {"w": he(ks[1], (3, 3, 32, 64)), "b": jnp.zeros((64,))},
+        "conv3": {"w": he(ks[2], (3, 3, 64, 128)), "b": jnp.zeros((128,))},
+        "conv4": {"w": he(ks[3], (3, 3, 128, 128)), "b": jnp.zeros((128,))},
+        "dense1": {"w": he(ks[4], (128, 256)), "b": jnp.zeros((256,))},
+        "dense2": {"w": he(ks[5], (256, num_attrs)),
+                   "b": jnp.zeros((num_attrs,))},
+    }
+
+
+def attr_classifier_logits(params, x):
+    """x: [N,3,H,W] in [0,1] (H=W=128 nominal; any 2^k>=16 works) →
+    logits [N,num_attrs]."""
+
+    def conv(x, p, stride):
+        w = jnp.transpose(p["w"], (3, 2, 0, 1))
+        y = lax.conv_general_dilated(x, w, (stride, stride), "SAME",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return jax.nn.leaky_relu(y + p["b"][None, :, None, None], 0.2)
+
+    x = conv(x, params["conv1"], 2)
+    x = conv(x, params["conv2"], 2)
+    x = conv(x, params["conv3"], 2)
+    x = conv(x, params["conv4"], 2)
+    x = jnp.mean(x, axis=(2, 3))  # global average pool
+    x = jax.nn.leaky_relu(
+        jnp.dot(x, params["dense1"]["w"]) + params["dense1"]["b"], 0.2)
+    return jnp.dot(x, params["dense2"]["w"]) + params["dense2"]["b"]
+
+
+class CelebAAttrClassifier:
+    """[N,3,H,W] uint8 images in [0,255] → attribute probabilities [N,40]."""
+
+    def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+        if weights_path is None:
+            weights_path = os.environ.get(
+                "INCLUSIVEGAN_TPU_ATTR_CLASSIFIER",
+                os.path.join("metrics_weights", "celeba_attr_classifier.npz"))
+        if weights_path and os.path.exists(weights_path):
+            data = np.load(weights_path)
+            self.params = {
+                name: {"w": jnp.asarray(data[f"{name}_w"]),
+                       "b": jnp.asarray(data[f"{name}_b"])}
+                for name in _ATTR_LAYERS}
+            self.mode = "pretrained"
+        else:
+            import sys
+            print(f"WARNING: CelebA attribute classifier weights not found "
+                  f"at {weights_path!r}; LS will use an UNTRAINED scorer "
+                  f"(train one with scripts/train_attr_classifier.py)",
+                  file=sys.stderr)
+            self.params = init_attr_classifier(seed=seed)
+            self.mode = ("random-init (train with "
+                         "scripts/train_attr_classifier.py)")
+        self._probs = jax.jit(self._probs_impl)
+
+    def _probs_impl(self, params, img_255):
+        x = img_255.astype(jnp.float32) / 255.0
+        return jax.nn.sigmoid(attr_classifier_logits(params, x))
+
+    def __call__(self, images_255: np.ndarray) -> np.ndarray:
+        return np.asarray(self._probs(self.params, jnp.asarray(images_255)))
+
+    @staticmethod
+    def save(params, path: str):
+        flat = {}
+        for name, p in params.items():
+            flat[f"{name}_w"] = np.asarray(p["w"])
+            flat[f"{name}_b"] = np.asarray(p["b"])
+        np.savez(path, **flat)
