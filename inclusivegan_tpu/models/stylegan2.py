@@ -33,6 +33,7 @@ TPU-native design decisions (NOT a translation):
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -79,8 +80,14 @@ def _dense(x, w, lrmul=1.0, gain=1.0):
 
 
 def _bias_act(x, b, act="linear", lrmul=1.0, gain=None, axis=1):
+    # INCLUSIVEGAN_TPU_BIAS_ACT_IMPL=pallas routes 4-D lrelu activations
+    # through ops/pallas_kernels.py (read at trace time; the kernel falls
+    # back to the XLA form for shapes/acts it does not cover). Default is
+    # the plain-jnp form, which XLA fuses into the producing conv — see the
+    # measured A/B in BENCH_NOTES ("bias-act impl A/B").
+    impl = os.environ.get("INCLUSIVEGAN_TPU_BIAS_ACT_IMPL", "jax")
     return fused_bias_act(x, (b * lrmul).astype(x.dtype), axis=axis, act=act,
-                          gain=gain)
+                          gain=gain, impl=impl)
 
 
 def _conv2d(x, w, up=False, down=False, resample_kernel=None, lrmul=1.0,
