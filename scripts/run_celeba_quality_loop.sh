@@ -1,0 +1,55 @@
+#!/bin/bash
+# CelebA-128 production-scale quality loop (VERDICT r1 item 3): train at the
+# paper's config on the 30k synthetic-CelebA corpus, then run every quality
+# surface at registry sizes against the trained snapshot — fid30k, pr50k3,
+# ppl_wend, ls (40-attr scorer), IvOM projection, generator CLI.
+#
+# Chip-exclusive: run only when no other trainer holds the relay TPU.
+# Expects the dataset + attrs already built:
+#   python3 scripts/make_synthetic_celeba.py --out /tmp/exp/celeba --num-images 30000
+#   python3 dataset_tool.py create_celeba /tmp/exp/datasets/celeba_synth_30k /tmp/exp/celeba
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DATA_DIR=${DATA_DIR:-/tmp/exp/datasets}
+DATASET=${DATASET:-celeba_synth_30k}
+EPOCHS=${EPOCHS:-14}              # total_kimg = 30 * EPOCHS
+RESULT_DIR=${RESULT_DIR:-results}
+STAMP=$(date +%H%M%S)
+
+echo "== [1/6] 40-attribute classifier (LS scorer) =="
+if [ ! -f metrics_weights/celeba_attr_classifier.npz ]; then
+  python3 scripts/train_attr_classifier.py \
+    --data-dir "$DATA_DIR" --dataset "$DATASET" \
+    --out metrics_weights/celeba_attr_classifier.npz --epochs 4
+fi
+
+echo "== [2/6] config-e-Gskip-Dresnet training, $((30 * EPOCHS)) kimg =="
+python3 run_training.py --data-dir "$DATA_DIR" --dataset "$DATASET" \
+  --config config-e-Gskip-Dresnet --num-gpus 1 --data-size 30000 \
+  --num-epochs "$EPOCHS" --metrics fid30k --mirror-augment true \
+  --dtype bfloat16 --result-dir "$RESULT_DIR" 2>&1 | tail -40
+RUN_DIR=$(ls -d "$RESULT_DIR"/*-celeba_synth_30k* 2>/dev/null | tail -1)
+PKL="$RUN_DIR/network-final.pkl"
+echo "trained: $PKL"
+
+echo "== [3/6] registry metrics on the final snapshot =="
+python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
+  --dataset "$DATASET" --mirror-augment true \
+  --metrics fid30k,pr50k3,ppl_wend 2>&1 | tail -20
+
+echo "== [4/6] linear separability (ls) =="
+python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
+  --dataset "$DATASET" --metrics ls 2>&1 | tail -8
+
+echo "== [5/6] IvOM latent projection =="
+python3 run_projector.py project-real-images --network "$PKL" \
+  --data-dir "$DATA_DIR" --dataset "$DATASET" \
+  --num-images "${IVOM_IMAGES:-300}" --num-steps 400 \
+  --result-dir "$RESULT_DIR" 2>&1 | tail -10
+
+echo "== [6/6] generator CLI smoke =="
+python3 run_generator.py generate-images --network "$PKL" \
+  --num-images 32 --truncation-psi 0.6 --result-dir "$RESULT_DIR" 2>&1 | tail -4
+
+echo "== done: artifacts under $RUN_DIR and $RESULT_DIR =="
