@@ -66,7 +66,9 @@ def checkpoint_for_kimg(run_dir, kimg):
     if not os.path.isdir(cdir):
         return None
     for name in sorted(os.listdir(cdir), reverse=True):
-        if name.startswith("step_") and int(name[len("step_"):]) // 1000 == kimg:
+        # digit check skips in-progress saves (step_N.orbax-checkpoint-tmp-*)
+        if (name.startswith("step_") and name[len("step_"):].isdigit()
+                and int(name[len("step_"):]) // 1000 == kimg):
             return os.path.join(cdir, name)
     return None
 
