@@ -42,7 +42,15 @@ class GsSampler:
 
     def __init__(self, network_pkl: str, minibatch_size: int = 32,
                  truncation_psi: Optional[float] = None, seed: int = 1000,
-                 num_devices: int = 1):
+                 num_devices: int = 1,
+                 input_transform=None, output_transform=None):
+        """``input_transform``/``output_transform`` are the TPU-native form
+        of Network.run's transform hooks (reference network.py:380-393,
+        used there as dotted-name funcs like convert_images_to_uint8):
+        jit-traced callables applied to the latents before the mapping net
+        and to the float [-1,1] images before fetch. The default output
+        transform is the reference's uint8 conversion (tfutil.py:255-267);
+        pass ``output_transform=lambda x: x`` for raw float images."""
         from ..training.training_loop import load_snapshot
         self.G, self.D, params = load_snapshot(network_pkl)
         self.gs_params = params["gs_params"]
@@ -76,22 +84,27 @@ class GsSampler:
 
         @jax.jit
         def sample(params, z, rng):
+            if input_transform is not None:
+                z = input_transform(z)
             img = self.G.apply(params, z,
                                jnp.zeros((z.shape[0], self.label_size)),
                                rng=rng,
                                truncation_psi=truncation_psi
                                if truncation_psi is not None else 1.0)
-            # quantize ON DEVICE (reference feeds metric nets uint8 images,
-            # tfutil.py:255-267): a uint8 fetch moves 4x less than float32
-            # over the device->host link, which dominates eval wall time on
-            # relay-attached TPUs (BENCH_NOTES.md)
+            if output_transform is not None:
+                return output_transform(img)
+            # default: quantize ON DEVICE (reference feeds metric nets uint8
+            # images, tfutil.py:255-267): a uint8 fetch moves 4x less than
+            # float32 over the device->host link, which dominates eval wall
+            # time on relay-attached TPUs (BENCH_NOTES.md)
             return jnp.rint(jnp.clip((img + 1.0) * 127.5, 0, 255)
                             ).astype(jnp.uint8)
 
         self._sample = sample
 
     def run(self, latents: np.ndarray) -> np.ndarray:
-        """latents [N,Z] → uint8 images [N,C,H,W] in [0,255]."""
+        """latents [N,Z] → images [N,C,H,W]; uint8 in [0,255] under the
+        default output transform, whatever the hook returns otherwise."""
         outs = []
         bs = self.minibatch
         # one-deep pipeline: dispatch batch i+1 before the blocking host

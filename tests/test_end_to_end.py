@@ -356,3 +356,29 @@ def test_ls_metric_with_default_scorer(trained_run, toy_dataset):
         v = res[f"ls_small_{space}"]
         assert np.isfinite(v) and 1.0 <= v <= 2.0 ** 3 + 1e-6, (space, v)
     assert "ls_small_untrained_classifier" in res
+
+
+def test_gs_sampler_transform_hooks(trained_run):
+    """input/output transform hooks — the TPU-native Network.run transform
+    kwargs (reference network.py:380-393). The raw-float output transform
+    must quantize to exactly the default uint8 path's output."""
+    from inclusivegan_tpu.metrics.metric_base import GsSampler
+    run_dir, _ = trained_run
+    pkl = os.path.join(run_dir, "network-final.pkl")
+    z = np.random.RandomState(4).randn(6, 32).astype(np.float32)
+
+    s_u8 = GsSampler(pkl, minibatch_size=8, seed=3)
+    s_raw = GsSampler(pkl, minibatch_size=8, seed=3,
+                      output_transform=lambda img: img)
+    a = s_u8.run(z)
+    b = s_raw.run(z)
+    assert a.dtype == np.uint8 and b.dtype == np.float32
+    np.testing.assert_array_equal(
+        a, np.rint(np.clip((b + 1.0) * 127.5, 0, 255)).astype(np.uint8))
+
+    # input transform: a fixed latent negation applied on device. Fresh
+    # samplers on both sides — each run() advances the instance noise key
+    s_neg = GsSampler(pkl, minibatch_size=8, seed=3,
+                      input_transform=lambda z: -z)
+    s_ref = GsSampler(pkl, minibatch_size=8, seed=3)
+    np.testing.assert_array_equal(s_neg.run(z), s_ref.run(-z))
