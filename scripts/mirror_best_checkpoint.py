@@ -192,21 +192,31 @@ def main():
             recorded = None
 
     weights_stamp = args.weights_file + ".json"
-    weights_count = -1
+    weights_count, weights_kl = -1, float("inf")
     if os.path.isfile(weights_stamp) and os.path.isfile(args.weights_file):
         try:
-            weights_count = int(json.load(open(weights_stamp)).get("count", -1))
+            _st = json.load(open(weights_stamp))
+            weights_count = int(_st.get("count", -1))
+            weights_kl = float(_st.get("kl") or "inf")
         except (OSError, ValueError):
             weights_count = -1
+
+    def _key(count, kl):
+        """Ordering: higher count wins; KL (lower better) breaks ties —
+        past the north star every snapshot counts 997+, and the 999 @602
+        (KL 0.18) beats the 999 @502 (KL 0.28)."""
+        return (count, -(kl if kl is not None else float("inf")))
 
     while True:
         entries = scan_runs(args.result_root)
         if entries:
-            count, kl, kimg, run_dir = max(entries, key=lambda e: e[0])
+            count, kl, kimg, run_dir = max(
+                entries, key=lambda e: _key(e[0], e[1]))
             # metric record is durable in-repo and independent of whether the
             # checkpoint copy below succeeds (results/ and /tmp are both wiped
             # by VM restarts; only the git tree survives)
-            if count > (recorded or {}).get("count", -1):
+            if _key(count, kl) > _key((recorded or {}).get("count", -1),
+                                      (recorded or {}).get("kl")):
                 recorded = {"count": count, "kl": kl, "kimg": kimg,
                             "src_run": run_dir, "ts": time.time()}
                 try:
@@ -224,11 +234,14 @@ def main():
                 except OSError as e:
                     print(f"record write failed ({e})", flush=True)
             if (count >= weights_count + args.weights_min_gain
-                    or (count >= args.target and count > weights_count)):
+                    or (count >= args.target
+                        and _key(count, kl) > _key(weights_count,
+                                                   weights_kl))):
                 try:
                     if mirror_weights(run_dir, kimg, count, kl,
                                       args.weights_file):
                         weights_count = count
+                        weights_kl = kl if kl is not None else float("inf")
                         with open(weights_stamp, "w") as f:
                             json.dump({"count": count, "kl": kl,
                                        "kimg": kimg, "src_run": run_dir,
@@ -239,7 +252,8 @@ def main():
                 except (OSError, pickle.PickleError) as e:
                     print(f"weights mirror failed ({e}); will retry",
                           flush=True)
-            already = mirrored and mirrored.get("count", -1) >= count
+            already = mirrored and _key(mirrored.get("count", -1),
+                                        mirrored.get("kl")) >= _key(count, kl)
             if not already:
                 ck = checkpoint_for_kimg(run_dir, kimg)
                 if ck and os.path.isdir(ck):

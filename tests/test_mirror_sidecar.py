@@ -50,16 +50,17 @@ def _fixture_run(root, kimg, count, kl=0.5):
     return run_dir
 
 
-def _run_once(tmp, stamp_count, eval_count, kimg=100):
+def _run_once(tmp, stamp_count, eval_count, kimg=100, eval_kl=0.5,
+              stamp_kl=0.5):
     """One --once pass against a fixture tree; → (refreshed, record_count)."""
     results = os.path.join(tmp, "results")
     art = os.path.join(tmp, "art")
     os.makedirs(art, exist_ok=True)
-    _fixture_run(results, kimg, eval_count)
+    _fixture_run(results, kimg, eval_count, kl=eval_kl)
     weights = os.path.join(art, "w.pkl")
     if stamp_count is not None:
         with open(weights + ".json", "w") as f:
-            json.dump({"count": stamp_count, "kimg": 1}, f)
+            json.dump({"count": stamp_count, "kl": stamp_kl, "kimg": 1}, f)
         open(weights, "wb").close()
     out = subprocess.run(
         [sys.executable, SCRIPT, "--once",
@@ -98,6 +99,22 @@ def test_north_star_overrides_min_gain(tmp_path):
 
 def test_no_rewrite_without_improvement_at_target(tmp_path):
     refreshed, _, _ = _run_once(str(tmp_path), 997, 997)
+    assert not refreshed
+
+
+def test_kl_tiebreak_refreshes_at_target(tmp_path):
+    """Past the north star, an equal-count snapshot with LOWER KL replaces
+    the mirror (999 @602 KL 0.18 should supersede 999 @502 KL 0.28)."""
+    refreshed, _, _ = _run_once(str(tmp_path), 997, 997,
+                                eval_kl=0.2, stamp_kl=0.5)
+    assert refreshed
+
+
+def test_kl_tiebreak_ignored_below_target(tmp_path):
+    """Below the target the min-gain hysteresis still rules: equal count +
+    better KL alone must NOT trigger the expensive weights rewrite."""
+    refreshed, _, _ = _run_once(str(tmp_path), 900, 900,
+                                eval_kl=0.2, stamp_kl=0.5)
     assert not refreshed
 
 
