@@ -348,7 +348,10 @@ def test_ls_metric_with_default_scorer(trained_run, toy_dataset):
         EasyDict(name="ls_small",
                  func_name="inclusivegan_tpu.metrics.linear_separability.LS",
                  num_samples=64, num_keep=32, attrib_indices=range(3),
-                 minibatch_per_gpu=8),
+                 minibatch_per_gpu=8,
+                 # hermetic: force the random-init scorer even when a
+                 # trained metrics_weights/ npz exists in the repo
+                 classifier_weights=os.path.join(run_dir, "no_such.npz")),
         network_pkl=snapshot, dataset_args=dataset_args,
         data_dir=os.path.dirname(toy_dataset), run_dir=run_dir)
     # exp2 of summed conditional entropies over 3 attrs in [0,1] bits each
