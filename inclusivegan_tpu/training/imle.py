@@ -61,6 +61,7 @@ _EXACT_KNN_HBM_BUDGET = 4 << 30  # candidate-feature bytes
 _DCI_BUILD_COEF = 1.22e-3
 _DCI_BUILD_EXP = 0.907
 _DCI_BUILD_BUDGET_S = 900.0
+_DCI_HOST_MEM_BUDGET = 32 << 30  # float64 candidate-feature bytes on host
 
 
 def estimate_dci_build_seconds(n: int) -> float:
@@ -276,7 +277,21 @@ class IMLEOrchestrator:
                                 generate_features)
             return
 
-        # Host-DCI path: route by projected construction cost, not hope.
+        # Host-DCI path: route by projected construction cost AND host
+        # feature memory, not hope. The DCI interface is float64
+        # (reference dci.py:116-127), so raw un-projected CelebA-128
+        # features would be n x 49152 x 8 B — 118 GB at the 30k regime,
+        # an instant OOM that the 2026-08-19 quality-loop launch hit live.
+        host_bytes = n * self.proj_dim * 8
+        if host_bytes > _DCI_HOST_MEM_BUDGET:
+            raise RuntimeError(
+                f"host-DCI candidate features ({n:,} x {self.proj_dim} "
+                f"f64 = {host_bytes / 2**30:.0f} GiB) exceed the "
+                f"{_DCI_HOST_MEM_BUDGET >> 30} GiB host budget. Set "
+                f"init_proj_dim (e.g. 512, or 0 for the "
+                f"Johnson-Lindenstrauss estimate) so the features are "
+                f"projected before retrieval — the reference requires "
+                f"this at CelebA scale too (training_loop.py:28-35).")
         est = estimate_dci_build_seconds(n)
         if est > _DCI_BUILD_BUDGET_S:
             if self.knn_backend == "dci":

@@ -25,9 +25,13 @@ if [ ! -f metrics_weights/celeba_attr_classifier.npz ]; then
 fi
 
 echo "== [2/6] config-e-Gskip-Dresnet training, $((30 * EPOCHS)) kimg =="
+# --init-proj-dim 512: raw 49152-dim CelebA-128 features would need 59 GiB
+# HBM (exact backend) or 118 GiB host RAM (DCI f64) at the 300k pool;
+# projected 512-dim features fit the exact device backend (0.6 GiB HBM)
 python3 run_training.py --data-dir "$DATA_DIR" --dataset "$DATASET" \
   --config config-e-Gskip-Dresnet --num-gpus 1 --data-size 30000 \
   --num-epochs "$EPOCHS" --metrics fid30k --mirror-augment true \
+  --init-proj-dim 512 --candidate-batch-size 1024 \
   --dtype bfloat16 --result-dir "$RESULT_DIR" 2>&1 | tail -40
 RUN_DIR=$(ls -d "$RESULT_DIR"/*-celeba_synth_30k* 2>/dev/null | tail -1)
 PKL="$RUN_DIR/network-final.pkl"

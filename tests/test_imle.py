@@ -224,3 +224,17 @@ def test_dci_cost_gate_routes_and_warns(monkeypatch, capsys):
     orch.rebuild(g, ds, verbose=False)  # proceeds despite the projection
     assert orch.selected_latents is not None
     assert "projected to take" in capsys.readouterr().out
+
+
+def test_dci_host_memory_gate(monkeypatch):
+    """Un-projected features beyond the host budget must fail fast with
+    init_proj_dim guidance — not OOM minutes into candidate generation
+    (hit live at the CelebA-128 30k regime: 300k x 49152 f64 = 118 GiB)."""
+    from inclusivegan_tpu.training import imle as imle_mod
+    monkeypatch.setattr(imle_mod, "_EXACT_KNN_HBM_BUDGET", 0)
+    monkeypatch.setattr(imle_mod, "_DCI_HOST_MEM_BUDGET", 0)
+    g = _LinearG()
+    ds = _GeneratedDataset(g, np.random.RandomState(1).randn(DATA, ZDIM))
+    orch = _orch(knn_backend="dci")
+    with pytest.raises(RuntimeError, match="init_proj_dim"):
+        orch.rebuild(g, ds, verbose=False)
