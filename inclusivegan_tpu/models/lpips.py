@@ -112,13 +112,36 @@ def load_lpips_params(path: str) -> Dict[str, Any]:
     return params
 
 
+# Well-known drop-in location for converted zhang-VGG weights, mirroring
+# the reference's hardcoded metrics/vgg16_zhang_perceptual.pkl path
+# (/root/reference/training/training_loop.py:195): convert once with
+# scripts/convert_lpips_weights.py, place the npz here, and every LPIPS
+# consumer (training rec anchor, PPL, projector) picks it up without flags.
+DEFAULT_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "metrics_weights", "vgg16_zhang_perceptual.npz")
+
+
 def get_lpips_params(weights_path: Optional[str] = None, seed: int = 0):
     """Converted zhang-VGG weights when available; otherwise the
     pixel-pyramid fallback — the quality-safe no-egress metric (random VGG
-    features are kept only as a workload stand-in, see calibration note)."""
-    if weights_path and os.path.exists(weights_path):
-        return load_lpips_params(weights_path)
+    features are kept only as a workload stand-in, see calibration note).
+
+    With no explicit path, discovery order is the INCLUSIVEGAN_LPIPS_WEIGHTS
+    env var (empty string forces the fallback — tests set this for
+    hermeticity) then DEFAULT_WEIGHTS_PATH.
+    """
     del seed
+    if weights_path is None:
+        env = os.environ.get("INCLUSIVEGAN_LPIPS_WEIGHTS")
+        if env is not None:
+            weights_path = env or None
+        elif os.path.exists(DEFAULT_WEIGHTS_PATH):
+            weights_path = DEFAULT_WEIGHTS_PATH
+    if weights_path and os.path.exists(weights_path):
+        print(f'LPIPS: loading weights from "{weights_path}"')
+        return load_lpips_params(weights_path)
+    print("LPIPS: pixel-pyramid fallback (no converted weights found)")
     return init_pixel_fallback_params()
 
 

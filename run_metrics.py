@@ -13,13 +13,16 @@ enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
 def run(submit_config, network_pkl, metrics, dataset, data_dir,
-        mirror_augment=False):
+        mirror_augment=False, lpips_weights=None):
     from inclusivegan_tpu.metrics import metric_base
     print(f'Evaluating metrics "{",".join(m.name for m in metrics)}" '
           f'for "{network_pkl}"...')
     dataset_args = {"tfrecord_dir": dataset, "max_label_size": "full"}
     results = {}
     for args in metrics:
+        if lpips_weights and "perceptual_path_length" in args.get(
+                "func_name", ""):
+            args = dict(args, lpips_weights=lpips_weights)
         results.update(metric_base.run_metric(
             args, network_pkl=network_pkl, dataset_args=dataset_args,
             data_dir=data_dir, run_dir=submit_config.run_dir,
@@ -61,6 +64,11 @@ def main():
                         help="apply mirror augment to reals so their "
                              "statistics match an augmented training run "
                              "(reference run_metrics.py:54)")
+    parser.add_argument("--lpips-weights", default=None, type=str,
+                        help="LPIPS npz for perceptual metrics (ppl_*); "
+                             "default: discover metrics_weights/"
+                             "vgg16_zhang_perceptual.npz, else the "
+                             "pixel-pyramid fallback")
     args = parser.parse_args()
 
     metrics = []
@@ -76,7 +84,8 @@ def main():
     sc.num_devices = args.num_devices
     submit_run(sc, "run_metrics.run", network_pkl=args.network_pkl,
                metrics=metrics, dataset=args.dataset, data_dir=args.data_dir,
-               mirror_augment=args.mirror_augment)
+               mirror_augment=args.mirror_augment,
+               lpips_weights=args.lpips_weights)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def project_image(proj, targets, submit_config, image_idx_base,
 
 def project_real_images(submit_config, network_pkl, dataset_name, data_dir,
                         num_images, num_steps, minibatch_size=10,
-                        num_snapshots=5):
+                        num_snapshots=5, lpips_weights=None):
     from inclusivegan_tpu.data.dataset import load_dataset
     from inclusivegan_tpu.projector import Projector
     from inclusivegan_tpu.training.training_loop import load_snapshot
@@ -45,7 +45,7 @@ def project_real_images(submit_config, network_pkl, dataset_name, data_dir,
 
     print(f'Loading networks from "{network_pkl}"...')
     G, _D, params = load_snapshot(network_pkl)
-    proj = Projector(verbose=True)
+    proj = Projector(verbose=True, lpips_weights=lpips_weights)
     proj.set_network(G, params["gs_params"], minibatch_size=minibatch_size,
                      num_steps=num_steps)
 
@@ -95,6 +95,10 @@ def main():
     p.add_argument("--minibatch-size", type=int, default=50)
     p.add_argument("--num-snapshots", type=int, default=5)
     p.add_argument("--result-dir", default="projection", metavar="DIR")
+    p.add_argument("--lpips-weights", default=None, type=str,
+                   help="LPIPS npz for the projection objective (default: "
+                        "discover metrics_weights/vgg16_zhang_perceptual.npz, "
+                        "else the pixel-pyramid fallback)")
 
     args = parser.parse_args()
     kwargs = vars(args)

@@ -34,7 +34,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         knn_perturb_factor, candidate_batch_size, exclusive_retrieved_code,
         NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
-        resume_checkpoint=None, dtype="float32", knn_backend="auto"):
+        resume_checkpoint=None, dtype="float32", knn_backend="auto",
+        lpips_weights=None):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -60,6 +61,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
     train.resume_pkl = resume_pkl
     if resume_checkpoint is not None:
         train.resume_checkpoint = resume_checkpoint
+    if lpips_weights is not None:
+        train.lpips_weights_path = lpips_weights
     train.update(data_size=data_size, num_epochs=num_epochs,
                  init_proj_dim=init_proj_dim, init_staleness=init_staleness,
                  num_samples_factor=num_samples_factor,
@@ -187,6 +190,12 @@ def main():
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation dtype (bfloat16 = TPU-native; params/optimizer stay fp32)")
+    parser.add_argument("--lpips-weights", default=None, type=str,
+                        help="LPIPS npz for the rec/interp anchor (reference "
+                             "hardcodes vgg16_zhang_perceptual.pkl, "
+                             "training_loop.py:195); default: discover "
+                             "metrics_weights/vgg16_zhang_perceptual.npz, "
+                             "else the pixel-pyramid fallback")
     parser.add_argument("--smoke-test-max-iters", default=None, type=int,
                         help="stop after N iterations (CI smoke runs)")
 

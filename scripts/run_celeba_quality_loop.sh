@@ -24,6 +24,17 @@ if [ ! -f metrics_weights/celeba_attr_classifier.npz ]; then
     --out metrics_weights/celeba_attr_classifier.npz --epochs 4
 fi
 
+echo "== [1b/6] domain perceptual anchor (rec-LPIPS + IvOM objective) =="
+# The pixel-pyramid fallback caused stacked-MNIST mode collapse
+# (BENCH_NOTES); train the zhang-layout VGG on the face corpus itself
+# (40-attr sigmoid heads) so the IMLE anchor carries perceptual pressure.
+LPIPS_NPZ=${LPIPS_NPZ:-/tmp/exp/celeba_perceptual_vgg.npz}
+if [ ! -f "$LPIPS_NPZ" ]; then
+  python3 scripts/train_perceptual_vgg.py \
+    --data-dir "$DATA_DIR" --dataset "$DATASET" \
+    --out "$LPIPS_NPZ" --epochs 3 --batch 64
+fi
+
 echo "== [2/6] config-e-Gskip-Dresnet training, $((30 * EPOCHS)) kimg =="
 # --init-proj-dim 512: raw 49152-dim CelebA-128 features would need 59 GiB
 # HBM (exact backend) or 118 GiB host RAM (DCI f64) at the 300k pool;
@@ -32,6 +43,7 @@ python3 run_training.py --data-dir "$DATA_DIR" --dataset "$DATASET" \
   --config config-e-Gskip-Dresnet --num-gpus 1 --data-size 30000 \
   --num-epochs "$EPOCHS" --metrics fid30k --mirror-augment true \
   --init-proj-dim 512 --candidate-batch-size 1024 \
+  --lpips-weights "$LPIPS_NPZ" \
   --dtype bfloat16 --result-dir "$RESULT_DIR" 2>&1 | tail -40
 RUN_DIR=$(ls -d "$RESULT_DIR"/*-celeba_synth_30k* 2>/dev/null | tail -1)
 PKL="$RUN_DIR/network-final.pkl"
@@ -40,6 +52,7 @@ echo "trained: $PKL"
 echo "== [3/6] registry metrics on the final snapshot =="
 python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
   --dataset "$DATASET" --mirror-augment true \
+  --lpips-weights "$LPIPS_NPZ" \
   --metrics fid30k,pr50k3,ppl_wend 2>&1 | tail -20
 
 echo "== [4/6] linear separability (ls) =="
@@ -50,6 +63,7 @@ echo "== [5/6] IvOM latent projection =="
 python3 run_projector.py project-real-images --network "$PKL" \
   --data-dir "$DATA_DIR" --dataset "$DATASET" \
   --num-images "${IVOM_IMAGES:-300}" --num-steps 400 \
+  --lpips-weights "$LPIPS_NPZ" \
   --result-dir "$RESULT_DIR" 2>&1 | tail -10
 
 echo "== [6/6] generator CLI smoke =="

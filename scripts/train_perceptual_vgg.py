@@ -11,8 +11,10 @@ mode-collapse at ~700 kimg with it (BENCH_NOTES.md mode-coverage
 post-mortem).
 
 This trains the SAME VGG16 trunk (models/lpips.py layout, zhang input
-normalization) from scratch on the stacked-digit dataset itself — three
-independent 10-way heads (R/G/B channel digit) over pooled conv5_3
+normalization) from scratch on the target dataset itself — three
+independent 10-way heads (R/G/B channel digit) for stacked-MNIST labels,
+or sigmoid heads over the 40 binary attributes for CelebA-style labels
+(--label-mode, auto-detected from label width) over pooled conv5_3
 features — then calibrates uniform LPIPS linear taps so the mean distance
 between distinct dataset images matches the converted-zhang scale (~0.3),
 and saves an npz directly loadable by ``load_lpips_params`` (_mode=1).
@@ -54,6 +56,12 @@ def main():
                         "dataset images (converted-zhang scale)")
     p.add_argument("--seed", type=int, default=17)
     p.add_argument("--val-frac", type=float, default=0.02)
+    p.add_argument("--label-mode", default="auto",
+                   choices=("auto", "stacked", "attrs"),
+                   help="stacked: 1000-way stacked-digit one-hot labels -> "
+                        "3x10-way digit heads; attrs: multi-label binary "
+                        "attributes (CelebA's 40) -> sigmoid heads; auto "
+                        "picks by label shape")
     args = p.parse_args()
 
     import jax
@@ -70,9 +78,21 @@ def main():
     ds = load_dataset(data_dir=args.data_dir, tfrecord_dir=args.dataset,
                       max_label_size="full", shuffle=False, verbose=True)
     images = np.asarray(ds.get_all_images())  # uint8 [N,3,H,W] in-RAM
-    label_idx = np.argmax(ds.get_all_labels(), axis=1).astype(np.int32)
-    digits = np.stack([label_idx % 10, (label_idx // 10) % 10,
-                       label_idx // 100], axis=1).astype(np.int32)  # [N,3]
+    labels = np.asarray(ds.get_all_labels())
+    mode = args.label_mode
+    if mode == "auto":
+        # stacked-digit labels are a 1000-way one-hot; CelebA attribute
+        # labels are 40-dim multi-hot (dataset_tool.py create_celeba)
+        mode = "stacked" if labels.shape[1] >= 100 else "attrs"
+    if mode == "stacked":
+        label_idx = np.argmax(labels, axis=1).astype(np.int32)
+        targets = np.stack([label_idx % 10, (label_idx // 10) % 10,
+                            label_idx // 100], axis=1).astype(np.int32)  # [N,3]
+        n_out = 30
+    else:
+        targets = (labels > 0.5).astype(np.int32)  # [N,A] binary attributes
+        label_idx = None
+        n_out = targets.shape[1]
     n = images.shape[0]
     n_val = max(int(n * args.val_frac), args.batch)
     rng = np.random.RandomState(args.seed)
@@ -85,8 +105,8 @@ def main():
     params.pop("_mode")
     trunk = {k: v for k, v in params.items() if not k.startswith("lin_")}
     head = {
-        "w": jnp.zeros((512, 30), jnp.float32),
-        "b": jnp.zeros((30,), jnp.float32),
+        "w": jnp.zeros((512, n_out), jnp.float32),
+        "b": jnp.zeros((n_out,), jnp.float32),
     }
     train_params = {"trunk": trunk, "head": head}
     opt = init_adam(train_params)
@@ -101,8 +121,8 @@ def main():
         x = L._preprocess(x_u8.astype(jnp.float32))
         feats = L._vgg_features(tp["trunk"], x)
         f = jnp.mean(feats[-1], axis=(2, 3))  # GAP conv5_3 → [N,512]
-        return (jnp.dot(f, tp["head"]["w"]) + tp["head"]["b"]).reshape(
-            -1, 3, 10)
+        lg = jnp.dot(f, tp["head"]["w"]) + tp["head"]["b"]
+        return lg.reshape(-1, 3, 10) if mode == "stacked" else lg
 
     @jax.jit
     def train_step(tp, opt, imgs, idx, y):
@@ -112,9 +132,14 @@ def main():
         x_u8 = jnp.take(imgs, idx, axis=0)
         def loss_fn(tp):
             lg = logits_fn(tp, x_u8)
-            lp = jax.nn.log_softmax(lg, axis=-1)
-            return -jnp.mean(jnp.take_along_axis(lp, y[..., None],
-                                                 axis=-1))
+            if mode == "stacked":
+                lp = jax.nn.log_softmax(lg, axis=-1)
+                return -jnp.mean(jnp.take_along_axis(lp, y[..., None],
+                                                     axis=-1))
+            # multi-label attributes: mean sigmoid BCE
+            yf = y.astype(jnp.float32)
+            return jnp.mean(jnp.maximum(lg, 0) - lg * yf
+                            + jnp.log1p(jnp.exp(-jnp.abs(lg))))
         loss, grads = jax.value_and_grad(loss_fn)(tp)
         tp, opt, _ = adam_apply(tp, grads, opt, learning_rate=args.lr,
                                 beta1=0.9, beta2=0.999)
@@ -122,14 +147,15 @@ def main():
 
     @jax.jit
     def acc_fn(tp, imgs, idx, y):
-        pred = jnp.argmax(logits_fn(tp, jnp.take(imgs, idx, axis=0)),
-                          axis=-1)
+        lg = logits_fn(tp, jnp.take(imgs, idx, axis=0))
+        pred = (jnp.argmax(lg, axis=-1) if mode == "stacked"
+                else (lg > 0).astype(jnp.int32))
         return jnp.mean((pred == y).all(axis=1)), jnp.mean(pred == y)
 
     def batches(idx, bs):
         for i in range(0, idx.shape[0] - bs + 1, bs):
             sl = idx[i:i + bs]
-            yield jnp.asarray(sl), jnp.asarray(digits[sl])
+            yield jnp.asarray(sl), jnp.asarray(targets[sl])
 
     t0 = time.time()
     for epoch in range(args.epochs):
@@ -143,8 +169,10 @@ def main():
                 for x, y in batches(val_idx, args.batch)]
         acc3 = float(np.mean([float(a[0]) for a in accs]))
         acc1 = float(np.mean([float(a[1]) for a in accs]))
+        lab3 = "triple-acc" if mode == "stacked" else "all-attr-acc"
+        lab1 = "digit-acc" if mode == "stacked" else "attr-acc"
         print(f"epoch {epoch}: loss {np.mean([float(l) for l in losses]):.4f} "
-              f"val triple-acc {acc3:.4f} digit-acc {acc1:.4f} "
+              f"val {lab3} {acc3:.4f} {lab1} {acc1:.4f} "
               f"({time.time() - t0:.0f}s)")
 
     # ------------------------------------------------------ calibration
@@ -164,7 +192,10 @@ def main():
     pairs = rng.permutation(n)[:4 * npairs]
     half = pairs.shape[0] // 2
     a, b = pairs[:half], pairs[half:2 * half]
-    keep = label_idx[a] != label_idx[b]
+    if mode == "stacked":
+        keep = label_idx[a] != label_idx[b]
+    else:
+        keep = (targets[a] != targets[b]).sum(axis=1) >= 1
     a, b = a[keep][:npairs], b[keep][:npairs]
     npairs = a.shape[0]
     da = jnp.take(images_dev, jnp.asarray(a), axis=0)
@@ -179,14 +210,28 @@ def main():
     # ------------------------------------------------- acceptance checks
     d_distinct = np.asarray(jf(final, da, db))
     d_black = np.asarray(jf(final, da, jnp.zeros_like(da)))
-    # same-triple pairs: group indices by label
-    by_label = {}
-    for i in rng.permutation(n)[:60000]:
-        by_label.setdefault(int(label_idx[i]), []).append(i)
-    sa, sb = [], []
-    for v in by_label.values():
-        for i in range(0, len(v) - 1, 2):
-            sa.append(v[i]); sb.append(v[i + 1])
+    if mode == "stacked":
+        # same-triple pairs: group indices by label
+        by_label = {}
+        for i in rng.permutation(n)[:60000]:
+            by_label.setdefault(int(label_idx[i]), []).append(i)
+        sa, sb = [], []
+        for v in by_label.values():
+            for i in range(0, len(v) - 1, 2):
+                sa.append(v[i]); sb.append(v[i + 1])
+    else:
+        # attribute mode: "same" = the most attribute-similar pairs mined
+        # from a large random-pair sample (exact attr matches are rare at
+        # 40 binary attributes)
+        ca = rng.randint(0, n, 300000)
+        cb = rng.randint(0, n, 300000)
+        ok = ca != cb
+        ca, cb = ca[ok], cb[ok]
+        ham = (targets[ca] != targets[cb]).sum(axis=1)
+        order2 = np.argsort(ham, kind="stable")
+        sa, sb = list(ca[order2]), list(cb[order2])
+        print(f"similar-attr pair hamming: p50 {np.median(ham):.0f}, "
+              f"selected <= {ham[order2[min(npairs, len(order2)) - 1]]}")
     sa, sb = sa[:npairs], sb[:npairs]
     if len(sa) == npairs:
         d_same = np.asarray(jf(
@@ -213,7 +258,11 @@ def main():
     # class-awareness (same-triple clearly closer than distinct).
     ok_black = d_black.mean() > 0.9 * d_distinct.mean()
     ok_mean = d_mean.mean() > 0.9 * d_distinct.mean()
-    ok_same = d_same.mean() < 0.8 * d_distinct.mean()
+    # attrs mode separates more weakly than digit triples: two faces with
+    # matching attributes still differ in identity/pose, so require only
+    # clear monotonicity (similar-attr < distinct), not a 20% gap
+    same_factor = 0.8 if mode == "stacked" else 0.95
+    ok_same = d_same.mean() < same_factor * d_distinct.mean()
     print(f"geometry: black not-much-closer: {ok_black}; "
           f"mean-blob not-much-closer: {ok_mean}; "
           f"class-aware (same << distinct): {ok_same}")

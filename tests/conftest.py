@@ -8,6 +8,11 @@ too late — we must go through jax.config.update instead.
 
 import os
 
+# Hermeticity: never let ambient converted-LPIPS weights (the drop-in
+# metrics_weights/vgg16_zhang_perceptual.npz discovery in models/lpips.py)
+# change test behavior; individual tests pass explicit paths when needed.
+os.environ.setdefault("INCLUSIVEGAN_LPIPS_WEIGHTS", "")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
