@@ -55,19 +55,21 @@ python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
   --lpips-weights "$LPIPS_NPZ" \
   --metrics fid30k,pr50k3,ppl_wend 2>&1 | tail -20
 
-echo "== [4/6] linear separability (ls) =="
-python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
-  --dataset "$DATASET" --metrics ls 2>&1 | tail -8
-
-echo "== [5/6] IvOM latent projection =="
+echo "== [4/6] IvOM latent projection =="
 python3 run_projector.py project-real-images --network "$PKL" \
   --data-dir "$DATA_DIR" --dataset "$DATASET" \
   --num-images "${IVOM_IMAGES:-300}" --num-steps 400 \
   --lpips-weights "$LPIPS_NPZ" \
   --result-dir "$RESULT_DIR" 2>&1 | tail -10
 
-echo "== [6/6] generator CLI smoke =="
+echo "== [5/6] generator CLI smoke =="
 python3 run_generator.py generate-images --network "$PKL" \
   --num-images 32 --truncation-psi 0.6 --result-dir "$RESULT_DIR" 2>&1 | tail -4
+
+echo "== [6/6] linear separability (ls; the ~80 LinearSVC fits on 100k x"
+echo "   512 latents make this the longest stage - run last so an"
+echo "   interrupted session loses the least) =="
+python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
+  --dataset "$DATASET" --metrics ls 2>&1 | tail -8
 
 echo "== done: artifacts under $RUN_DIR and $RESULT_DIR =="
