@@ -60,9 +60,13 @@ def _yield_chip(timeout_sec: float = 1800.0) -> None:
         except Exception:
             return []
         me = os.getpid()
+        # run_metrics/run_projector/run_generator also hold the TPU client
+        # for their whole run (no abort.txt polling there — they finish on
+        # their own); wait for those too instead of queueing behind them
+        holders = ("run_training.py", "exp_stacked_mode_coverage",
+                   "run_metrics.py", "run_projector.py", "run_generator.py")
         return [line for line in out.splitlines()
-                if ("run_training.py" in line
-                    or "exp_stacked_mode_coverage" in line)
+                if any(h in line for h in holders)
                 and "python" in line and not line.strip().startswith(str(me))]
 
     t0 = time.time()
