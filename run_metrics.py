@@ -13,7 +13,7 @@ enable_compilation_cache()  # persistent XLA cache: warm starts across processes
 
 
 def run(submit_config, network_pkl, metrics, dataset, data_dir,
-        mirror_augment=False, lpips_weights=None):
+        mirror_augment=False, lpips_weights=None, classifier_weights=None):
     from inclusivegan_tpu.metrics import metric_base
     print(f'Evaluating metrics "{",".join(m.name for m in metrics)}" '
           f'for "{network_pkl}"...')
@@ -23,6 +23,10 @@ def run(submit_config, network_pkl, metrics, dataset, data_dir,
         if lpips_weights and "perceptual_path_length" in args.get(
                 "func_name", ""):
             args = dict(args, lpips_weights=lpips_weights)
+        if classifier_weights and ("mode_counts" in args.get("func_name", "")
+                                   or args.get("func_name", "").endswith(
+                                       "KL.KL")):
+            args = dict(args, classifier_weights=classifier_weights)
         results.update(metric_base.run_metric(
             args, network_pkl=network_pkl, dataset_args=dataset_args,
             data_dir=data_dir, run_dir=submit_config.run_dir,
@@ -69,6 +73,12 @@ def main():
                              "default: discover metrics_weights/"
                              "vgg16_zhang_perceptual.npz, else the "
                              "pixel-pyramid fallback")
+    parser.add_argument("--classifier-weights", default=None, type=str,
+                        help="stacked-MNIST classifier npz for "
+                             "mode_counts_*/KL* (scripts/"
+                             "train_mnist_classifier.py); default: discover "
+                             "metrics_weights/stacked_mnist_classifier.npz, "
+                             "else a tagged random-init classifier")
     args = parser.parse_args()
 
     metrics = []
@@ -85,7 +95,8 @@ def main():
     submit_run(sc, "run_metrics.run", network_pkl=args.network_pkl,
                metrics=metrics, dataset=args.dataset, data_dir=args.data_dir,
                mirror_augment=args.mirror_augment,
-               lpips_weights=args.lpips_weights)
+               lpips_weights=args.lpips_weights,
+               classifier_weights=args.classifier_weights)
 
 
 if __name__ == "__main__":

@@ -94,3 +94,36 @@ def test_bench_yield_chip_drops_abort_sentinels(monkeypatch, tmp_path):
     bench._yield_chip(timeout_sec=0.0)
     assert (live / "abort.txt").exists()
     assert not (done / "abort.txt").exists()
+
+
+def test_run_metrics_classifier_weights_plumbing(monkeypatch, tmp_path):
+    """--classifier-weights must reach mode_counts_*/KL* metric args (and
+    only those); --lpips-weights reaches only ppl_*."""
+    import run_metrics
+
+    seen = []
+
+    def fake_run_metric(args, **kwargs):
+        seen.append(dict(args))
+        return {args["name"]: 0.0}
+
+    from inclusivegan_tpu.metrics import metric_base
+    monkeypatch.setattr(metric_base, "run_metric", fake_run_metric)
+    from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
+    metrics = [metric_defaults[n] for n in ("mode_counts_24k", "KL24k",
+                                            "ppl_wend", "is50k")]
+
+    class SC:
+        run_dir = str(tmp_path)
+        num_devices = 1
+
+    run_metrics.run(SC(), network_pkl="net.pkl", metrics=metrics,
+                    dataset="toy", data_dir=str(tmp_path),
+                    lpips_weights="lp.npz", classifier_weights="clf.npz")
+    by_name = {a["name"]: a for a in seen}
+    assert by_name["mode_counts_24k"]["classifier_weights"] == "clf.npz"
+    assert by_name["KL24k"]["classifier_weights"] == "clf.npz"
+    assert "classifier_weights" not in by_name["ppl_wend"]
+    assert "classifier_weights" not in by_name["is50k"]
+    assert by_name["ppl_wend"]["lpips_weights"] == "lp.npz"
+    assert "lpips_weights" not in by_name["is50k"]
