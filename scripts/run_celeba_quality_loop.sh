@@ -46,10 +46,13 @@ python3 run_training.py --data-dir "$DATA_DIR" --dataset "$DATASET" \
   --lpips-weights "$LPIPS_NPZ" \
   --dtype bfloat16 --result-dir "$RESULT_DIR" 2>&1 | tail -40
 RUN_DIR=$(ls -d "$RESULT_DIR"/*-celeba_synth_30k* 2>/dev/null | tail -1)
-PKL="$RUN_DIR/network-final.pkl"
-echo "trained: $PKL"
+# evaluate the BEST in-training snapshot, not the last: late-training D
+# overfitting on a 30k corpus regressed final FID 2.06 -> 21.4 in the
+# round-2 run (BENCH_NOTES); the paper reports best-snapshot numbers
+PKL=$(python3 scripts/select_best_snapshot.py "$RUN_DIR" --metric fid30k)
+echo "evaluating snapshot: $PKL"
 
-echo "== [3/6] registry metrics on the final snapshot =="
+echo "== [3/6] registry metrics on the best snapshot =="
 python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
   --dataset "$DATASET" --mirror-augment true \
   --lpips-weights "$LPIPS_NPZ" \

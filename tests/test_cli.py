@@ -127,3 +127,45 @@ def test_run_metrics_classifier_weights_plumbing(monkeypatch, tmp_path):
     assert "classifier_weights" not in by_name["is50k"]
     assert by_name["ppl_wend"]["lpips_weights"] == "lp.npz"
     assert "lpips_weights" not in by_name["is50k"]
+
+
+def test_select_best_snapshot(tmp_path):
+    """The quality loop evaluates the lowest-FID snapshot whose pkl is still
+    on disk, skipping deleted ones, and falls back to network-final.pkl."""
+    sys.path.insert(0, "scripts")
+    try:
+        from select_best_snapshot import best_snapshot
+    finally:
+        sys.path.pop(0)
+
+    run_dir = tmp_path / "00000-run"
+    run_dir.mkdir()
+    (run_dir / "metric-fid30k.txt").write_text(
+        "network-snapshot-000040        time 115.2       fid30k 195.9000  \n"
+        "network-snapshot-000152        time 114.8       fid30k 2.0600    \n"
+        "network-snapshot-000240        time 116.0       fid30k 21.4400   \n")
+    for name in ("network-snapshot-000040", "network-snapshot-000152",
+                 "network-snapshot-000240", "network-final"):
+        (run_dir / f"{name}.pkl").write_bytes(b"x")
+
+    pkl, value = best_snapshot(str(run_dir))
+    assert pkl.endswith("network-snapshot-000152.pkl") and value == 2.06
+
+    # the best pkl was pruned -> next-best surviving snapshot wins
+    (run_dir / "network-snapshot-000152.pkl").unlink()
+    pkl, value = best_snapshot(str(run_dir))
+    assert pkl.endswith("network-snapshot-000240.pkl") and value == 21.44
+
+    # no trajectory at all -> final snapshot, no value
+    empty = tmp_path / "00001-empty"
+    empty.mkdir()
+    pkl, value = best_snapshot(str(empty))
+    assert pkl.endswith("network-final.pkl") and value is None
+
+    # higher-is-better metrics pick the max
+    (run_dir / "metric-rec30k.txt").write_text(
+        "network-snapshot-000040        time 1.0 rec30k 0.1000\n"
+        "network-snapshot-000240        time 1.0 rec30k 0.9000\n")
+    pkl, value = best_snapshot(str(run_dir), metric="rec30k",
+                               lower_is_better=False)
+    assert pkl.endswith("network-snapshot-000240.pkl") and value == 0.9
