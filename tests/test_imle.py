@@ -238,3 +238,38 @@ def test_dci_host_memory_gate(monkeypatch):
     orch = _orch(knn_backend="dci")
     with pytest.raises(RuntimeError, match="init_proj_dim"):
         orch.rebuild(g, ds, verbose=False)
+
+
+def test_attr_interesting_filters_minority_rows():
+    """Minority-inclusion (the paper's headline feature): with
+    attr_interesting set, ONLY reals carrying all the interesting
+    attributes enter the reconstruction batches (reference
+    training_loop.py:416-427), and the batch still fills to minibatch_size
+    by carrying across the epoch cursor."""
+    g = _LinearG()
+    latents = np.random.RandomState(3).randn(DATA, ZDIM).astype(np.float32)
+    ds = _GeneratedDataset(g, latents)
+    # 4 attrs; rows are minority ("Bald" AND "Young") iff index % 3 == 0
+    attr_names = ["Bald", "Male", "Young", "Eyeglasses"]
+    labels = np.zeros((DATA, 4), np.float32)
+    minority = np.arange(DATA) % 3 == 0
+    labels[minority, 0] = 1
+    labels[minority, 2] = 1
+    labels[~minority, 1] = 1
+    ds._np_labels = labels
+    ds.label_size = 4
+
+    orch = _orch(attr_interesting="Bald,Young", attr_names=attr_names)
+    orch.rebuild(g, ds, verbose=False)
+    mb = 4
+    seen = 0
+    for _ in range(3):
+        r1, l1, z1, r2, l2, z2 = orch.next_rec_batch(ds, mb)
+        assert r1.shape[0] == mb and r2.shape[0] == mb
+        for l in (l1, l2):
+            assert (l[:, 0] == 1).all() and (l[:, 2] == 1).all(), l
+        seen += 2 * mb
+    # the filter must not starve the stream: 3 iterations consumed 24
+    # minority rows out of DATA/3 per epoch, so the cursor wrapped — the
+    # orchestrator keeps serving (carry + wrap logic, not an assert here)
+    assert seen == 24
