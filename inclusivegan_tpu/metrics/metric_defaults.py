@@ -19,21 +19,23 @@ metric_defaults = {m.name: m for m in [
              num_images=10000, minibatch_per_gpu=8),
     EasyDict(name="is50k", func_name=f"{_P}.inception_score.IS",
              num_images=50000, num_splits=10, minibatch_per_gpu=8),
+    # crop=True on the four classic variants / crop=False on ppl2_wend
+    # mirrors the reference registry exactly (metric_defaults.py:20-24)
     EasyDict(name="ppl_zfull", func_name=f"{_P}.perceptual_path_length.PPL",
              num_samples=50000, epsilon=1e-4, space="z", sampling="full",
-             minibatch_per_gpu=16),
+             crop=True, minibatch_per_gpu=16),
     EasyDict(name="ppl_wfull", func_name=f"{_P}.perceptual_path_length.PPL",
              num_samples=50000, epsilon=1e-4, space="w", sampling="full",
-             minibatch_per_gpu=16),
+             crop=True, minibatch_per_gpu=16),
     EasyDict(name="ppl_zend", func_name=f"{_P}.perceptual_path_length.PPL",
              num_samples=50000, epsilon=1e-4, space="z", sampling="end",
-             minibatch_per_gpu=16),
+             crop=True, minibatch_per_gpu=16),
     EasyDict(name="ppl_wend", func_name=f"{_P}.perceptual_path_length.PPL",
              num_samples=50000, epsilon=1e-4, space="w", sampling="end",
-             minibatch_per_gpu=16),
+             crop=True, minibatch_per_gpu=16),
     EasyDict(name="ppl2_wend", func_name=f"{_P}.perceptual_path_length.PPL",
              num_samples=50000, epsilon=1e-4, space="w", sampling="end",
-             minibatch_per_gpu=16),
+             crop=False, minibatch_per_gpu=16),
     EasyDict(name="ls", func_name=f"{_P}.linear_separability.LS",
              num_samples=200000, num_keep=100000, attrib_indices=range(40),
              minibatch_per_gpu=4),

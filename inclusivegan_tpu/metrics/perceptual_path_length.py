@@ -1,7 +1,7 @@
 """PPL — capability parity with
 /root/reference/metrics/perceptual_path_length.py: slerp in z / lerp in w
-with ε=1e-4 (:60-77), shared noise per endpoint pair (:80-81), center crop +
-downsample to 256 (:85-93), LPIPS/ε² (:99-101), 1–99 percentile outlier
+with ε=1e-4 (:60-77), shared noise per endpoint pair (:80-81), face crop +
+downsample to 256 (:83-93), LPIPS/ε² (:99-101), 1–99 percentile outlier
 rejection (:110-114)."""
 
 import jax
@@ -13,9 +13,25 @@ from ..training.loss import slerp
 from .metric_base import MetricBase
 
 
+def crop_and_downsample(img, crop):
+    """Reference :83-93: with ``crop``, keep only the face region — the
+    ASYMMETRIC window rows [3c, 7c) × cols [2c, 6c), c = H//8 (faces sit
+    below center in the FFHQ/CelebA framing) at ANY resolution — then
+    mean-pool down to ≤256 (VGG was built for 224×224)."""
+    ch = img.shape[1]
+    if crop:
+        c = img.shape[2] // 8
+        img = img[:, :, c * 3:c * 7, c * 2:c * 6]
+    factor = img.shape[2] // 256
+    if factor > 1:
+        img = img.reshape(-1, ch, img.shape[2] // factor, factor,
+                          img.shape[3] // factor, factor).mean((3, 5))
+    return img
+
+
 class PPL(MetricBase):
     def __init__(self, name, num_samples=50000, epsilon=1e-4, space="w",
-                 sampling="full", minibatch_per_gpu=16,
+                 sampling="full", crop=False, minibatch_per_gpu=16,
                  lpips_weights=None, **kwargs):
         assert space in ("z", "w") and sampling in ("full", "end")
         super().__init__(name)
@@ -23,6 +39,7 @@ class PPL(MetricBase):
         self.epsilon = epsilon
         self.space = space
         self.sampling = sampling
+        self.crop = crop
         self.minibatch = minibatch_per_gpu
         self.lpips_weights = lpips_weights
 
@@ -49,18 +66,16 @@ class PPL(MetricBase):
                 wt0 = w0 + (w1 - w0) * t[:, None, None]
                 wt1 = w0 + (w1 - w0) * (t[:, None, None] + eps)
                 w = jnp.concatenate([wt0, wt1])
+            # fresh BATCH-SHARED noise per minibatch (reference :79-80:
+            # the noise vars are re-initialized under control_dependencies
+            # once per minibatch and shared by every image in it — both
+            # interpolation endpoints of a pair must see identical noise,
+            # and the metric is an expectation over noise draws, not a
+            # single fixed draw)
             img = G.synthesis.apply(params["synthesis"], w,
-                                    noise=params["noise"],
+                                    noise=G.synthesis.init_noise(rng),
                                     randomize_noise=False)
-            # crop center + downsample to <=256 (reference :85-93)
-            c, h, _ = img.shape[1], img.shape[2], img.shape[3]
-            if h > 256:
-                cmin, cmax = h // 8 * 3, h // 8 * 5
-                img = img[:, :, cmin:cmax, cmin:cmax]
-                h = img.shape[2]
-            while h > 256:
-                img = img.reshape(-1, c, h // 2, 2, h // 2, 2).mean((3, 5))
-                h //= 2
+            img = crop_and_downsample(img, self.crop)
             img = (img + 1.0) * 127.5
             d = lpips_distance(lpips_params, img[:b], img[b:])
             return d * (1.0 / eps ** 2)

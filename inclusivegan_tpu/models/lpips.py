@@ -181,7 +181,11 @@ def _pixel_pyramid(x) -> List[jnp.ndarray]:
     normalization — the pixel metric's gradient must keep its unique
     minimum at the target)."""
     feats = [x]
-    for _ in range(_PIXEL_SCALES - 1):
+    # cap the depth by the (static) spatial size: pooling a 1-px map would
+    # yield a zero-size level whose mean is nan (hit by PPL's face crop on
+    # tiny test resolutions: 16px -> 8x8 crop -> 5th level is 0x0)
+    levels = min(_PIXEL_SCALES, int(min(x.shape[2], x.shape[3])).bit_length())
+    for _ in range(levels - 1):
         x = lax.reduce_window(x, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
                               "VALID") * 0.25
         feats.append(x)

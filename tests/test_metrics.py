@@ -167,3 +167,49 @@ def test_metric_reals_batch_applies_mirror_augment():
         or np.array_equal(mirrored[i], plain[i, :, :, ::-1])
         for i in range(32))
     assert per_img_same_or_flip
+
+
+def test_ppl_crop_and_downsample_reference_geometry():
+    """PPL's face crop must match the reference exactly (perceptual_path_
+    length.py:83-93): the ASYMMETRIC window rows [3c,7c) x cols [2c,6c)
+    with c=H//8 applied at ANY resolution when crop=True, then a single
+    mean-pool down to <=256."""
+    import numpy as np
+    from inclusivegan_tpu.metrics.perceptual_path_length import (
+        crop_and_downsample)
+
+    rng = np.random.RandomState(0)
+
+    # 128px, crop=True: cropped to 64x64 at the face window, NO downsample
+    img = rng.randn(2, 3, 128, 128).astype(np.float32)
+    out = np.asarray(crop_and_downsample(img, crop=True))
+    assert out.shape == (2, 3, 64, 64)
+    np.testing.assert_allclose(out, img[:, :, 48:112, 32:96], rtol=1e-6)
+
+    # 128px, crop=False: untouched
+    out = np.asarray(crop_and_downsample(img, crop=False))
+    np.testing.assert_allclose(out, img)
+
+    # 1024px, crop=True: crop to 512, then factor-2 mean-pool to 256
+    img = rng.randn(1, 3, 1024, 1024).astype(np.float32)
+    out = np.asarray(crop_and_downsample(img, crop=True))
+    assert out.shape == (1, 3, 256, 256)
+    c = 128
+    ref = img[:, :, c * 3:c * 7, c * 2:c * 6]
+    ref = ref.reshape(1, 3, 256, 2, 256, 2).mean((3, 5))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    # 512px, crop=False: factor-2 mean-pool only
+    img = rng.randn(1, 3, 512, 512).astype(np.float32)
+    out = np.asarray(crop_and_downsample(img, crop=False))
+    ref = img.reshape(1, 3, 256, 2, 256, 2).mean((3, 5))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_ppl_registry_crop_flags_match_reference():
+    """reference metric_defaults.py:20-24: the four classic PPL variants
+    crop; ppl2_wend does not."""
+    from inclusivegan_tpu.metrics.metric_defaults import metric_defaults
+    for name in ("ppl_zfull", "ppl_wfull", "ppl_zend", "ppl_wend"):
+        assert metric_defaults[name]["crop"] is True, name
+    assert metric_defaults["ppl2_wend"]["crop"] is False
