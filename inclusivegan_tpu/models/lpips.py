@@ -189,6 +189,14 @@ def _pixel_pyramid(x) -> List[jnp.ndarray]:
         x = lax.reduce_window(x, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2),
                               "VALID") * 0.25
         feats.append(x)
+    if levels < _PIXEL_SCALES:
+        # the lin heads are fixed at 1/_PIXEL_SCALES per level; with fewer
+        # levels (<16px inputs) the summed distance would sit on a smaller
+        # effective scale than the calibrated 32px one. The distance is
+        # quadratic in the features, so scaling each level by
+        # sqrt(S/levels) renormalizes per-level weight to 1/levels and
+        # keeps cross-resolution distances comparable.
+        feats = [f * math.sqrt(_PIXEL_SCALES / levels) for f in feats]
     return feats
 
 

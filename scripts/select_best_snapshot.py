@@ -26,14 +26,31 @@ import sys
 
 def best_snapshot(run_dir, metric="fid30k", lower_is_better=True):
     """Return (pkl_path, value) of the best snapshot, or (final, None)."""
+    # word boundary before the metric name: without it "--metric recall"
+    # would also match the "pr50k3_recall" column of a different metric,
+    # and suffix-only metrics (pr50k3 writes pr50k3_precision/_recall,
+    # never bare "pr50k3") must NOT silently fall through to the final
+    # snapshot — warn below instead
     pattern = re.compile(
-        r"^(?P<name>\S+)\s+time\s+\S+\s+.*?" + re.escape(metric) +
+        r"^(?P<name>\S+)\s+time\s+\S+.*?\s" + re.escape(metric) +
         r"\s+(?P<value>[-+0-9.eE]+)")
     candidates = []
     path = os.path.join(run_dir, f"metric-{metric}.txt")
+    if not os.path.exists(path):
+        # suffixed columns live in the base metric's file: pr50k3_recall
+        # is a column of metric-pr50k3.txt (metric_base._report_result
+        # suffix= path) — fall back to the longest base-name prefix match
+        import glob
+        bases = [p for p in glob.glob(os.path.join(run_dir, "metric-*.txt"))
+                 if metric.startswith(
+                     os.path.basename(p)[len("metric-"):-len(".txt")])]
+        if bases:
+            path = max(bases, key=len)
     if os.path.exists(path):
+        n_lines = 0
         with open(path) as f:
             for line in f:
+                n_lines += 1
                 m = pattern.match(line)
                 if not m:
                     continue
@@ -43,10 +60,20 @@ def best_snapshot(run_dir, metric="fid30k", lower_is_better=True):
                 else:
                     print(f"# skipped (pkl gone): {line.strip()}",
                           file=sys.stderr)
+        if n_lines and not candidates:
+            print(f"# warning: {path} has {n_lines} lines but none parsed "
+                  f"as a bare '{metric}' column (suffixed-only metric? "
+                  f"pkls deleted?) — falling back to the final snapshot",
+                  file=sys.stderr)
     if candidates:
         value, pkl = (min if lower_is_better else max)(candidates)
         return pkl, value
     final = os.path.join(run_dir, "network-final.pkl")
+    if not os.path.exists(final):
+        raise SystemExit(
+            f"error: no usable {metric} trajectory in {run_dir} and the "
+            f"final-snapshot fallback {final} does not exist — wrong "
+            f"RUN_DIR?")
     return final, None
 
 

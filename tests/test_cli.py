@@ -156,11 +156,31 @@ def test_select_best_snapshot(tmp_path):
     pkl, value = best_snapshot(str(run_dir))
     assert pkl.endswith("network-snapshot-000240.pkl") and value == 21.44
 
-    # no trajectory at all -> final snapshot, no value
+    # no trajectory at all -> final snapshot (if it exists), no value
     empty = tmp_path / "00001-empty"
     empty.mkdir()
+    (empty / "network-final.pkl").write_bytes(b"x")
     pkl, value = best_snapshot(str(empty))
     assert pkl.endswith("network-final.pkl") and value is None
+
+    # bad run dir (no trajectory AND no final pkl) -> hard error at
+    # selection time, not a dangling path for run_metrics to trip over
+    bogus = tmp_path / "00002-bogus"
+    bogus.mkdir()
+    with pytest.raises(SystemExit):
+        best_snapshot(str(bogus))
+
+    # suffixed-only metric files (pr50k3 writes only _precision/_recall
+    # columns) must not silently pick the final snapshot for the bare name
+    (run_dir / "metric-pr50k3.txt").write_text(
+        "network-snapshot-000040   time 1.0   "
+        "pr50k3_precision 0.7000 pr50k3_recall 0.5000\n")
+    pkl, value = best_snapshot(str(run_dir), metric="pr50k3")
+    assert value is None  # warned fallback to final
+    # ...but the suffixed column itself is selectable (file-name fallback)
+    pkl, value = best_snapshot(str(run_dir), metric="pr50k3_recall",
+                               lower_is_better=False)
+    assert pkl.endswith("network-snapshot-000040.pkl") and value == 0.5
 
     # higher-is-better metrics pick the max
     (run_dir / "metric-rec30k.txt").write_text(
