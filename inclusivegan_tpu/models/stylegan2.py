@@ -131,24 +131,47 @@ def _modulated_conv2d(x, style_w, params, *, up=False, down=False,
     return x
 
 
-def minibatch_stddev(x, group_size=6, num_new_features=1):
+# fold-in salt for the per-example style-mixing latents2 draw (invariant-RNG
+# mode). Synthesis noise salts are the layer indices (0..num_layers-2), so
+# any constant far above ~16 is collision-free.
+_EK_MIX = 1 << 20
+
+
+def minibatch_stddev(x, group_size=6, num_new_features=1, contiguous=False):
     """Reference minibatch_stddev_layer (:132-144). Under shard_map the batch
     axis is the per-device shard, so groups stay device-local exactly like
-    the reference's per-GPU graphs."""
+    the reference's per-GPU graphs.
+
+    ``contiguous=True`` assigns example n to group n//g (blocks) instead of
+    the reference's strided n%M assignment. Any partition into groups of g
+    is statistically equivalent; the contiguous form is additionally
+    invariant under data-mesh resharding whenever the per-device batch is a
+    multiple of g (shards are contiguous blocks), which the strided form is
+    not — used by the sharding-invariance mode (training/train_step.py
+    TrainConfig.invariant_rng)."""
     n, c, h, w = x.shape
     g = min(group_size, n)
     # pad-free grouping requires divisibility; fall back to whole batch
     if n % g != 0:
         g = n
-    y = x.reshape(g, -1, num_new_features, c // num_new_features, h, w)
-    y = y.astype(jnp.float32)
-    y = y - jnp.mean(y, axis=0, keepdims=True)
-    y = jnp.mean(jnp.square(y), axis=0)
+    if contiguous:
+        y = x.reshape(-1, g, num_new_features, c // num_new_features, h, w)
+        y = y.astype(jnp.float32)
+        y = y - jnp.mean(y, axis=1, keepdims=True)
+        y = jnp.mean(jnp.square(y), axis=1)
+    else:
+        y = x.reshape(g, -1, num_new_features, c // num_new_features, h, w)
+        y = y.astype(jnp.float32)
+        y = y - jnp.mean(y, axis=0, keepdims=True)
+        y = jnp.mean(jnp.square(y), axis=0)
     y = jnp.sqrt(y + 1e-8)
     y = jnp.mean(y, axis=(2, 3, 4), keepdims=True)
     y = jnp.mean(y, axis=2)
     y = y.astype(x.dtype)
-    y = jnp.tile(y, (g, 1, h, w))
+    if contiguous:
+        y = jnp.tile(jnp.repeat(y, g, axis=0), (1, 1, h, w))
+    else:
+        y = jnp.tile(y, (g, 1, h, w))
     return jnp.concatenate([x, y], axis=1)
 
 
@@ -296,8 +319,15 @@ class GSynthesis:
         return noise
 
     def apply(self, params: Params, dlatents, *, noise: Optional[Params] = None,
-              rng=None, randomize_noise: bool = True) -> jnp.ndarray:
-        """dlatents: [B, num_layers, dlatent_size] → images [B,C,R,R]."""
+              rng=None, randomize_noise: bool = True,
+              example_keys=None) -> jnp.ndarray:
+        """dlatents: [B, num_layers, dlatent_size] → images [B,C,R,R].
+
+        ``example_keys`` ([B] PRNG keys, optional): draw per-layer noise
+        per-example as normal(fold_in(example_keys[i], layer_idx)) instead of
+        one batch-shaped draw from ``rng``. With keys derived from the GLOBAL
+        example index the noise (and hence the whole forward) is invariant
+        under data-mesh resharding (TrainConfig.invariant_rng)."""
         rk = list(self.resample_kernel)
         act = self.nonlinearity
         batch = dlatents.shape[0]
@@ -307,7 +337,11 @@ class GSynthesis:
             nonlocal rng
             x = _modulated_conv2d(x, dlatents[:, layer_idx], p, up=up,
                                   resample_kernel=rk)
-            if randomize_noise:
+            if example_keys is not None:
+                nz = jax.vmap(lambda ek: random.normal(
+                    random.fold_in(ek, layer_idx),
+                    (1, x.shape[2], x.shape[3]), x.dtype))(example_keys)
+            elif randomize_noise:
                 assert rng is not None, "randomize_noise needs an rng"
                 rng, k = random.split(rng)
                 nz = random.normal(k, (batch, 1, x.shape[2], x.shape[3]),
@@ -397,12 +431,18 @@ class GMain:
     NON_TRAINABLE = ("noise", "dlatent_avg")
 
     def map_latents(self, params: Params, latents, labels=None, *, rng=None,
-                    style_mixing_prob="default"):
+                    style_mixing_prob="default", example_keys=None):
         """Training-mode mapping + style-mixing: z → dlatents [B, L, D]
         (float32) plus the batch average for the dlatent_avg EMA. Exposed so
         callers can batch several logical G forwards into one synthesis call
         while keeping an independent mixing draw per group (see
-        training/loss.g_main_loss)."""
+        training/loss.g_main_loss).
+
+        ``example_keys`` ([B] keys): draw the mixing latents2 per-example
+        (fold-in salt _EK_MIX) so the draw is invariant under data-mesh
+        resharding; the batch-scalar mixing decision/cutoff still come from
+        ``rng`` — with a replicated rng they are shared across shards, like
+        a single-device batch."""
         if style_mixing_prob == "default":
             style_mixing_prob = self.style_mixing_prob
         num_layers = self.synthesis.num_layers
@@ -411,7 +451,12 @@ class GMain:
         batch_avg = jnp.mean(dlatents[:, 0], axis=0)
         if style_mixing_prob is not None and rng is not None:
             rng, k1, k2, k3 = random.split(rng, 4)
-            latents2 = random.normal(k1, latents.shape, latents.dtype)
+            if example_keys is not None:
+                latents2 = jax.vmap(lambda ek: random.normal(
+                    random.fold_in(ek, _EK_MIX), latents.shape[1:],
+                    latents.dtype))(example_keys)
+            else:
+                latents2 = random.normal(k1, latents.shape, latents.dtype)
             dlatents2 = self.mapping.apply(params["mapping"], latents2,
                                            labels).astype(jnp.float32)
             layer_idx = jnp.arange(num_layers)[None, :, None]
@@ -425,7 +470,8 @@ class GMain:
     def apply(self, params: Params, latents, labels=None, *, rng=None,
               is_training: bool = False, truncation_psi=None,
               truncation_cutoff="default", randomize_noise: Optional[bool] = None,
-              return_dlatents: bool = False, style_mixing_prob="default"):
+              return_dlatents: bool = False, style_mixing_prob="default",
+              example_keys=None):
         """Returns images (plus dlatents and the updated dlatent_avg when
         requested/training). Mirrors the mode logic of the reference
         (:170-183): training disables truncation, eval disables mixing+EMA."""
@@ -454,7 +500,12 @@ class GMain:
 
         if is_training and style_mixing_prob is not None and rng is not None:
             rng, k1, k2, k3 = random.split(rng, 4)
-            latents2 = random.normal(k1, latents.shape, latents.dtype)
+            if example_keys is not None:
+                latents2 = jax.vmap(lambda ek: random.normal(
+                    random.fold_in(ek, _EK_MIX), latents.shape[1:],
+                    latents.dtype))(example_keys)
+            else:
+                latents2 = random.normal(k1, latents.shape, latents.dtype)
             dlatents2 = self.mapping.apply(params["mapping"], latents2,
                                            labels).astype(jnp.float32)
             layer_idx = jnp.arange(num_layers)[None, :, None]
@@ -481,7 +532,8 @@ class GMain:
             krng = None
         images = self.synthesis.apply(params["synthesis"], dlatents,
                                       noise=params["noise"], rng=krng,
-                                      randomize_noise=randomize_noise)
+                                      randomize_noise=randomize_noise,
+                                      example_keys=example_keys)
         out = [images]
         if return_dlatents:
             out.append(dlatents)
@@ -507,6 +559,10 @@ class Discriminator:
     nonlinearity: str = "lrelu"
     mbstd_group_size: int = 6
     mbstd_num_features: int = 1
+    # contiguous mbstd grouping (see minibatch_stddev): statistically
+    # equivalent to the reference's strided grouping, and sharding-invariant
+    # when the per-device batch divides by the group size
+    mbstd_contiguous: bool = False
     resample_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     init_mul: float = 1.0
     dtype: Any = jnp.float32
@@ -618,7 +674,8 @@ class Discriminator:
             x = fromrgb(x, y, p4["FromRGB"])
         if self.mbstd_group_size > 1:
             x = minibatch_stddev(x, self.mbstd_group_size,
-                                 self.mbstd_num_features)
+                                 self.mbstd_num_features,
+                                 contiguous=self.mbstd_contiguous)
         x = _bias_act(_conv2d(x, p4["Conv"]["weight"]), p4["Conv"]["bias"],
                       act=act)
         feat(x)

@@ -48,12 +48,26 @@ def _bias_lrelu_kernel(x_ref, b_ref, y_ref, *, alpha: float, gain: float):
 
 def _bias_lrelu_2d(x2d: jnp.ndarray, brow: jnp.ndarray, alpha: float,
                    gain: float) -> jnp.ndarray:
+    vma = jax.typeof(x2d).vma
+    if _interpret() and vma:
+        # The hlo interpreter evaluates the kernel jaxpr under shard_map's
+        # vma checking, where every in-kernel literal (0, alpha, gain) is
+        # non-varying and each elementwise op mismatches. Interpret mode
+        # exists only for CPU test meshes — run the mathematically
+        # identical jnp form there; the real TPU path always compiles the
+        # kernel (kernel-body parity is covered by the non-shard_map tests
+        # in tests/test_ops.py).
+        x = x2d + brow[:, None].astype(x2d.dtype)
+        return jnp.where(x >= 0, x, x * alpha) * gain
     m, k = x2d.shape
     bm = 8 if m % 8 == 0 else m
     grid = (pl.cdiv(m, bm),)
     return pl.pallas_call(
         functools.partial(_bias_lrelu_kernel, alpha=alpha, gain=gain),
-        out_shape=jax.ShapeDtypeStruct((m, k), x2d.dtype),
+        # propagate the input's varying-mesh-axes so the kernel traces
+        # inside shard_map (check_vma requires an explicit out vma)
+        out_shape=jax.ShapeDtypeStruct((m, k), x2d.dtype,
+                                       vma=jax.typeof(x2d).vma),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -148,6 +162,13 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
     """Pallas-backed upfirdn2d on NCHW input (see ops/upfirdn2d.py for the
     op contract). Host does the zero-insert + edge pad (pure relayout); the
     kernel does the FIR + downsample per (n, c) image."""
+    if _interpret() and jax.typeof(x).vma:
+        # interpret-mode kernels cannot run under shard_map's vma checking
+        # (in-kernel literals are non-varying) — same rationale as
+        # _bias_lrelu_2d; CPU meshes take the conv fast path instead
+        from .upfirdn2d import _upfirdn2d_conv
+        return _upfirdn2d_conv(x, jnp.asarray(f, jnp.float32), up, down,
+                               pad, gain)
     padx0, padx1, pady0, pady1 = pad
     n, c, h, w = x.shape
     f = jnp.asarray(f, jnp.float32)
@@ -172,7 +193,8 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
     xp2 = xp.reshape(n * c, hp, wp)
     y = pl.pallas_call(
         functools.partial(_fir_kernel, taps=taps, down=down, oh=oh, ow=ow),
-        out_shape=jax.ShapeDtypeStruct((n * c, oh, ow), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n * c, oh, ow), x.dtype,
+                                       vma=jax.typeof(xp2).vma),
         grid=(n * c,),
         in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

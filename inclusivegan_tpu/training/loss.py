@@ -60,6 +60,27 @@ def _to_255(img):
     return (img.astype(jnp.float32) + 1.0) * (255.0 / 2.0)
 
 
+# --- invariant-RNG mode (TrainConfig.invariant_rng) ------------------------
+# Per-example fold-in salts. Every batch-shaped draw folds one of these into
+# an example key derived from the GLOBAL example index, making the drawn
+# values — and therefore the whole step — independent of how the batch is
+# sharded over the data mesh. Distinct G forwards get independent
+# per-example streams via _EK_FWD_BASE+fid before the model's own salts.
+_EK_T = (1 << 20) | 1          # interpolation factor t
+_EK_PL_Z = (1 << 20) | 2       # path-reg latents
+_EK_PL_NOISE = (1 << 20) | 3   # path-reg image-space noise
+_EK_FWD_BASE = (1 << 21)       # + forward id, parent fold for G forwards
+
+
+def _fold_each(example_keys, salt: int):
+    return jax.vmap(lambda ek: random.fold_in(ek, salt))(example_keys)
+
+
+def _per_example(example_keys, salt: int, draw):
+    """vmap ``draw(key)`` over fold_in(example_keys, salt)."""
+    return jax.vmap(lambda ek: draw(random.fold_in(ek, salt)))(example_keys)
+
+
 class GLossOut(NamedTuple):
     loss: jnp.ndarray            # [N] per-sample total main loss
     scalars: Dict[str, jnp.ndarray]
@@ -71,7 +92,8 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 latents_rec_2, reals_rec_2, labels_rec_2,
                 arb_latents, arb_labels,
                 NN_rec_lpips_weight: float = 2.5,
-                lpips_dtype=jnp.float32, batched: bool = False) -> GLossOut:
+                lpips_dtype=jnp.float32, batched: bool = False,
+                example_keys=None) -> GLossOut:
     """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS.
 
     batched=True fuses the four logical G forwards (rec1, rec2, interp,
@@ -83,7 +105,14 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
     form is the default."""
     n = latents_rec_1.shape[0]
     rng, k_t, k1, k2, k3, k4, k_noise = random.split(rng, 7)
-    t = random.uniform(k_t, (n, 1))
+    if example_keys is not None:
+        t = _per_example(example_keys, _EK_T,
+                         lambda k: random.uniform(k, (1,)))
+        fwd_keys = [_fold_each(example_keys, _EK_FWD_BASE + fid)
+                    for fid in range(4)]
+    else:
+        t = random.uniform(k_t, (n, 1))
+        fwd_keys = [None] * 4
     interp_latents = slerp(latents_rec_2, latents_rec_1, t)
     interp_labels = lerp(labels_rec_2, labels_rec_1, t) if labels_rec_1.size else labels_rec_1
 
@@ -92,17 +121,18 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
         # separate LPIPS evaluations (kept for A/B perf comparison)
         avgs = []
 
-        def g_forward(z, labels, key):
+        def g_forward(z, labels, key, eks):
             img, _dl, batch_avg = G.apply(g_params, z, labels, rng=key,
                                           is_training=True,
-                                          return_dlatents=True)
+                                          return_dlatents=True,
+                                          example_keys=eks)
             avgs.append(batch_avg)
             return img
 
-        rec1 = g_forward(latents_rec_1, labels_rec_1, k1)
-        rec2 = g_forward(latents_rec_2, labels_rec_2, k2)
-        interp = g_forward(interp_latents, interp_labels, k3)
-        arb = g_forward(arb_latents, arb_labels, k4)
+        rec1 = g_forward(latents_rec_1, labels_rec_1, k1, fwd_keys[0])
+        rec2 = g_forward(latents_rec_2, labels_rec_2, k2, fwd_keys[1])
+        interp = g_forward(interp_latents, interp_labels, k3, fwd_keys[2])
+        arb = g_forward(arb_latents, arb_labels, k4, fwd_keys[3])
         loss_rec = 0.5 * (
             lpips_distance(lpips_params, _to_255(rec1), _to_255(reals_rec_1),
                            dtype=lpips_dtype) +
@@ -125,19 +155,22 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
         return GLossOut(loss, scalars, tuple(avgs))
 
     groups = [
-        (latents_rec_1, labels_rec_1, k1),
-        (latents_rec_2, labels_rec_2, k2),
-        (interp_latents, interp_labels, k3),
-        (arb_latents, arb_labels, k4),
+        (latents_rec_1, labels_rec_1, k1, fwd_keys[0]),
+        (latents_rec_2, labels_rec_2, k2, fwd_keys[1]),
+        (interp_latents, interp_labels, k3, fwd_keys[2]),
+        (arb_latents, arb_labels, k4, fwd_keys[3]),
     ]
     dlats, avgs = [], []
-    for z, labels, key in groups:
-        dl, avg = G.map_latents(g_params, z, labels, rng=key)
+    for z, labels, key, eks in groups:
+        dl, avg = G.map_latents(g_params, z, labels, rng=key,
+                                example_keys=eks)
         dlats.append(dl)
         avgs.append(avg)
+    all_eks = (jnp.concatenate(fwd_keys) if example_keys is not None
+               else None)
     imgs = G.synthesis.apply(g_params["synthesis"], jnp.concatenate(dlats),
                              noise=g_params["noise"], rng=k_noise,
-                             randomize_noise=True)
+                             randomize_noise=True, example_keys=all_eks)
     rec1, rec2, interp, arb = jnp.split(imgs, 4)
 
     from ..models.lpips import lpips_distance_from_features, lpips_features
@@ -170,15 +203,31 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
 def g_path_reg(g_params, *, G, rng, pl_mean, minibatch_size: int,
                latent_size: int, label_size: int,
                pl_minibatch_shrink: int = 2, pl_decay: float = 0.01,
-               pl_weight: float = 2.0):
+               pl_weight: float = 2.0, example_keys=None, mean_fn=None):
     """Path-length regularizer (reference loss.py:54-91).
 
     Returns (reg [pl_mb], new_pl_mean, scalars, dlatent_batch_avg).
     Gradient intentionally flows through the EMA'd mean (see module doc).
+    ``example_keys``: [pl_mb] keys (global pl-example index) for
+    sharding-invariant draws of the pl latents/noise.
+    ``mean_fn``: reduction used for the pl_lengths batch mean that feeds
+    the EMA/penalty center. Default jnp.mean = device-local, matching the
+    reference's per-GPU pl_mean variables; invariant_rng passes a pmean'd
+    mean so the penalty centers on the GLOBAL batch statistic and the
+    result is mesh-size independent.
     """
     pl_mb = max(minibatch_size // pl_minibatch_shrink, 1)
     rng, kz, kfwd, kn = random.split(rng, 4)
-    pl_latents = random.normal(kz, (pl_mb, latent_size))
+    if example_keys is not None:
+        assert example_keys.shape[0] == pl_mb, (example_keys.shape, pl_mb)
+        pl_latents = _per_example(
+            example_keys, _EK_PL_Z,
+            lambda k: random.normal(k, (latent_size,)))
+        fwd_eks = _fold_each(example_keys, _EK_FWD_BASE)
+        synth_eks = _fold_each(example_keys, _EK_FWD_BASE + 1)
+    else:
+        pl_latents = random.normal(kz, (pl_mb, latent_size))
+        fwd_eks = synth_eks = None
     pl_labels = jnp.zeros((pl_mb, label_size), jnp.float32)
 
     # dlatents as an explicit differentiation point: mapping (+ style mixing)
@@ -186,24 +235,32 @@ def g_path_reg(g_params, *, G, rng, pl_mean, minibatch_size: int,
     # both synthesis params and (through dlatents) mapping params.
     _, dlatents, batch_avg = G.apply(
         g_params, pl_latents, pl_labels, rng=kfwd, is_training=True,
-        return_dlatents=True)
+        return_dlatents=True, example_keys=fwd_eks)
 
     img_shape = (pl_mb, G.synthesis.num_channels, G.synthesis.resolution,
                  G.synthesis.resolution)
-    pl_noise = random.normal(kn, img_shape) / np.sqrt(
-        float(G.synthesis.resolution ** 2))
+    if example_keys is not None:
+        pl_noise = _per_example(
+            example_keys, _EK_PL_NOISE,
+            lambda k: random.normal(k, img_shape[1:])) / np.sqrt(
+                float(G.synthesis.resolution ** 2))
+    else:
+        pl_noise = random.normal(kn, img_shape) / np.sqrt(
+            float(G.synthesis.resolution ** 2))
     _, k_noise = random.split(kfwd)
 
     def synth_sum(dl):
         imgs = G.synthesis.apply(g_params["synthesis"], dl,
                                  noise=g_params["noise"], rng=k_noise,
-                                 randomize_noise=True)
+                                 randomize_noise=True,
+                                 example_keys=synth_eks)
         return jnp.sum(imgs.astype(jnp.float32) * pl_noise)
 
     pl_grads = jax.grad(synth_sum)(dlatents)  # [B, L, D]
     pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
 
-    pl_mean_new = pl_mean + pl_decay * (jnp.mean(pl_lengths) - pl_mean)
+    batch_mean = (mean_fn or jnp.mean)(pl_lengths)
+    pl_mean_new = pl_mean + pl_decay * (batch_mean - pl_mean)
     pl_penalty = jnp.square(pl_lengths - pl_mean_new)
     reg = pl_penalty * pl_weight
     scalars = {"Loss/pl_penalty": jnp.mean(reg),
@@ -212,7 +269,7 @@ def g_path_reg(g_params, *, G, rng, pl_mean, minibatch_size: int,
 
 
 def d_main_loss(d_params, g_params, *, G, D, rng, reals, labels,
-                arb_latents, arb_labels):
+                arb_latents, arb_labels, example_keys=None):
     """D main loss (reference loss.py:93-105). reals/fakes both 2×mb.
 
     TPU batching: fakes and reals share one D call when the fake count is a
@@ -220,9 +277,12 @@ def d_main_loss(d_params, g_params, *, G, D, rng, reals, labels,
     the fake/real boundary, so the statistics are bit-identical to the
     reference's two separate forwards."""
     avgs = []
+    fwd_eks = (_fold_each(example_keys, _EK_FWD_BASE)
+               if example_keys is not None else None)
     arb, _dl, batch_avg = G.apply(g_params, arb_latents, arb_labels,
                                   rng=rng, is_training=True,
-                                  return_dlatents=True)
+                                  return_dlatents=True,
+                                  example_keys=fwd_eks)
     avgs.append(batch_avg)
     n_fake = arb.shape[0]
     if D.mbstd_group_size <= 1 or n_fake % D.mbstd_group_size == 0:

@@ -75,6 +75,20 @@ class TrainConfig(NamedTuple):
     # `rounds` microbatches of size per_device_batch/rounds, sums grads,
     # applies Adam once. 1 = fast path (reference training_loop.py:467).
     grad_accum_rounds: int = 1
+    # Sharding-invariant randomness: derive every batch-shaped draw (arb
+    # latents, mirror flips, interp factor, style-mixing latents2, synthesis
+    # noise, path-reg latents/noise) from the GLOBAL example index instead of
+    # folding the device index into the phase key, and share batch-scalar
+    # draws (mixing decision/cutoff) across devices. The step then computes
+    # the same losses/gradients/updated params on ANY data-mesh size for the
+    # same global batch, up to float reduction order — n-chip and 1-chip
+    # runs follow the same trajectory (asserted by
+    # __graft_entry__.dryrun_multichip and tests/test_train_step.py).
+    # Requires grad_accum_rounds=1 and, for exact invariance with mbstd
+    # enabled, Discriminator(mbstd_contiguous=True) with the per-device
+    # batch a multiple of the group size. Off by default: the device-folded
+    # scheme matches the reference's independent per-GPU random ops.
+    invariant_rng: bool = False
     # Donate the state pytree to each phase program: XLA reuses the input
     # param/moment HBM buffers for the outputs instead of allocating fresh
     # ones (~4 donations/iter at ~1 GB state). Only safe when the caller
@@ -127,15 +141,24 @@ def _accum_scan(round_fn, params0, keys, micro=None, carry0=None):
     return grads, aux_stack, carry
 
 
-def _process_reals(x, rng, mirror_augment: bool, drange_data):
+def _process_reals(x, rng, mirror_augment: bool, drange_data,
+                   invariant: bool = False):
     """uint8 → drange_net [-1,1] + in-graph mirror augment
     (reference training_loop.py:40-60; LOD paths dropped — config-e has no
-    progressive growing)."""
+    progressive growing). ``invariant``: key each example's flip by its
+    global index (rng must then be replicated, not device-folded)."""
     x = x.astype(jnp.float32)
     lo, hi = drange_data
     x = (x - lo) * (2.0 / (hi - lo)) - 1.0
     if mirror_augment:
-        flip = random.uniform(rng, (x.shape[0], 1, 1, 1)) < 0.5
+        if invariant:
+            n = x.shape[0]
+            idx = lax.axis_index("data") * n + jnp.arange(n)
+            u = jax.vmap(
+                lambda i: random.uniform(random.fold_in(rng, i)))(idx)
+            flip = u.reshape(n, 1, 1, 1) < 0.5
+        else:
+            flip = random.uniform(rng, (x.shape[0], 1, 1, 1)) < 0.5
         x = jnp.where(flip, x, x[:, :, :, ::-1])
     return x
 
@@ -163,11 +186,24 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         g_b1 = d_b1 = cfg.adam_beta1
         g_b2 = d_b2 = cfg.adam_beta2
 
+    if cfg.invariant_rng:
+        assert cfg.grad_accum_rounds == 1, (
+            "invariant_rng guarantees sharding-invariance only for the "
+            "rounds=1 fast path: microbatch round boundaries move with the "
+            "mesh size, so per-round batch-scalar draws (style-mixing "
+            "decisions) would hit different example sets")
+
     def _pmean_tree(tree):
         return jax.tree_util.tree_map(lambda x: lax.pmean(x, "data"), tree)
 
     def _device_rng(rng):
         return random.fold_in(rng, lax.axis_index("data"))
+
+    def _global_keys(rng, local_n: int):
+        """[local_n] per-example keys folded by GLOBAL example index —
+        identical key set over any mesh size (invariant_rng mode)."""
+        idx = lax.axis_index("data") * local_n + jnp.arange(local_n)
+        return jax.vmap(lambda i: random.fold_in(rng, i))(idx)
 
     # ------------------------------------------------------------------
     def g_phase_local(state: TrainState, batch, rng, g_lrate, rec_w):
@@ -175,14 +211,24 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         # runs reuses the compiled phase program (a static weight forced a
         # full recompile of the G phase — ~1 h on a cold remote-compile
         # cache — when the mode-coverage watchdog escalated the knob)
-        rng = _device_rng(rng)
-        k_aug1, k_aug2, k_g, k_arb = random.split(rng, 4)
+        if not cfg.invariant_rng:
+            rng = _device_rng(rng)
+        k_aug1, k_aug2, k_g, k_arb, k_ex = random.split(rng, 5)
         local_mb = batch["latents_rec_1"].shape[0]
         reals_rec_1 = _process_reals(batch["reals_rec_1"], k_aug1,
-                                     cfg.mirror_augment, cfg.drange_data)
+                                     cfg.mirror_augment, cfg.drange_data,
+                                     invariant=cfg.invariant_rng)
         reals_rec_2 = _process_reals(batch["reals_rec_2"], k_aug2,
-                                     cfg.mirror_augment, cfg.drange_data)
-        arb_latents = random.normal(k_arb, (local_mb, latent_size))
+                                     cfg.mirror_augment, cfg.drange_data,
+                                     invariant=cfg.invariant_rng)
+        if cfg.invariant_rng:
+            arb_latents = jax.vmap(
+                lambda ek: random.normal(ek, (latent_size,)))(
+                    _global_keys(k_arb, local_mb))
+            example_keys = _global_keys(k_ex, local_mb)
+        else:
+            arb_latents = random.normal(k_arb, (local_mb, latent_size))
+            example_keys = None
         arb_labels = jnp.zeros((local_mb, label_size), jnp.float32)
         trainables0 = g_trainables(state.g_params)
         data = dict(
@@ -190,7 +236,8 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
             labels_rec_1=batch["labels_rec_1"],
             latents_rec_2=batch["latents_rec_2"], reals_rec_2=reals_rec_2,
             labels_rec_2=batch["labels_rec_2"],
-            arb_latents=arb_latents, arb_labels=arb_labels)
+            arb_latents=arb_latents, arb_labels=arb_labels,
+            example_keys=example_keys)
 
         def round_fn(key, d):
             def loss_fn(trainables):
@@ -237,7 +284,13 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
 
     # ------------------------------------------------------------------
     def g_reg_phase_local(state: TrainState, rng, g_lrate, local_mb):
-        rng = _device_rng(rng)
+        if cfg.invariant_rng:
+            rng, k_ex = random.split(rng)
+            local_pl = max(local_mb // cfg.pl_minibatch_shrink, 1)
+            pl_example_keys = _global_keys(k_ex, local_pl)
+        else:
+            rng = _device_rng(rng)
+            pl_example_keys = None
         trainables0 = g_trainables(state.g_params)
         rounds = cfg.grad_accum_rounds
         mb_round = local_mb // max(rounds, 1)
@@ -250,7 +303,10 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                     minibatch_size=mb_round, latent_size=latent_size,
                     label_size=label_size,
                     pl_minibatch_shrink=cfg.pl_minibatch_shrink,
-                    pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight)
+                    pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight,
+                    example_keys=pl_example_keys,
+                    mean_fn=((lambda x: lax.pmean(jnp.mean(x), "data"))
+                             if cfg.invariant_rng else None))
                 return (jnp.mean(reg) * cfg.G_reg_interval,
                         (new_pl, reg_scalars, ba))
 
@@ -290,15 +346,24 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
 
     # ------------------------------------------------------------------
     def d_phase_local(state: TrainState, batch, rng, d_lrate, gs_beta):
-        rng = _device_rng(rng)
-        k_aug, k_d, k_arb = random.split(rng, 3)
+        if not cfg.invariant_rng:
+            rng = _device_rng(rng)
+        k_aug, k_d, k_arb, k_ex = random.split(rng, 4)
         reals = _process_reals(batch["reals"], k_aug, cfg.mirror_augment,
-                               cfg.drange_data)
+                               cfg.drange_data, invariant=cfg.invariant_rng)
         n2 = reals.shape[0]
-        arb_latents = random.normal(k_arb, (n2, latent_size))
+        if cfg.invariant_rng:
+            arb_latents = jax.vmap(
+                lambda ek: random.normal(ek, (latent_size,)))(
+                    _global_keys(k_arb, n2))
+            example_keys = _global_keys(k_ex, n2)
+        else:
+            arb_latents = random.normal(k_arb, (n2, latent_size))
+            example_keys = None
         arb_labels = jnp.zeros((n2, label_size), jnp.float32)
         data = dict(reals=reals, labels=batch["labels"],
-                    arb_latents=arb_latents, arb_labels=arb_labels)
+                    arb_latents=arb_latents, arb_labels=arb_labels,
+                    example_keys=example_keys)
 
         def round_fn(key, d):
             def loss_fn(d_params):
@@ -342,9 +407,10 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
     # ------------------------------------------------------------------
     def d_reg_phase_local(state: TrainState, batch, rng, d_lrate, gamma):
         # gamma traced for the same compile-cache reason as rec_w above
-        rng = _device_rng(rng)
+        if not cfg.invariant_rng:
+            rng = _device_rng(rng)
         reals = _process_reals(batch["reals"], rng, cfg.mirror_augment,
-                               cfg.drange_data)
+                               cfg.drange_data, invariant=cfg.invariant_rng)
         data = dict(reals=reals, labels=batch["labels"])
 
         def round_fn(key, d):

@@ -2,7 +2,14 @@
 # CelebA-128 production-scale quality loop (VERDICT r1 item 3): train at the
 # paper's config on the 30k synthetic-CelebA corpus, then run every quality
 # surface at registry sizes against the trained snapshot — fid30k, pr50k3,
-# ppl_wend, ls (40-attr scorer), IvOM projection, generator CLI.
+# ppl_wend, is50k, ls (40-attr scorer), IvOM projection, generator CLI.
+#
+# Durability (VERDICT r2 "What's weak" #2: round 2 computed ls and then
+# lost the number with results/): after every stage the metric lines are
+# merged into artifacts/celeba_quality_digest.json (in git) by
+# scripts/record_quality_digest.py, and the evaluated best-FID snapshot is
+# fp16-mirrored to artifacts/celeba_best_weights_fp16.pkl so later rounds
+# can re-evaluate without retraining.
 #
 # Chip-exclusive: run only when no other trainer holds the relay TPU.
 # Expects the dataset + attrs already built:
@@ -51,12 +58,26 @@ RUN_DIR=$(ls -d "$RESULT_DIR"/*-celeba_synth_30k* 2>/dev/null | tail -1)
 # round-2 run (BENCH_NOTES); the paper reports best-snapshot numbers
 PKL=$(python3 scripts/select_best_snapshot.py "$RUN_DIR" --metric fid30k)
 echo "evaluating snapshot: $PKL"
+# record the in-training fid trajectory + mirror the snapshot NOW, before
+# any long eval stage can be interrupted
+python3 scripts/record_quality_digest.py "$RUN_DIR" \
+  --note "training run $RUN_DIR; best-fid snapshot: $PKL"
+python3 scripts/mirror_snapshot.py "$PKL" \
+  artifacts/celeba_best_weights_fp16.pkl --meta "role=celeba-best-fid"
+# commit immediately: the training investment is now durable even if a VM
+# restart interrupts the eval stages below
+git add artifacts/celeba_quality_digest.json \
+  artifacts/celeba_best_weights_fp16.pkl artifacts/celeba_best_weights_fp16.pkl.json \
+  && git commit -q -m "CelebA quality loop: mirror best-FID snapshot + training trajectory" \
+  || true
 
 echo "== [3/6] registry metrics on the best snapshot =="
 python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
   --dataset "$DATASET" --mirror-augment true \
   --lpips-weights "$LPIPS_NPZ" \
-  --metrics fid30k,pr50k3,ppl_wend 2>&1 | tail -20
+  --metrics fid30k,pr50k3,ppl_wend,is50k 2>&1 | tail -20
+python3 scripts/record_quality_digest.py "$RESULT_DIR"/*-run_metrics \
+  --note "registry metrics (fid30k,pr50k3,ppl_wend(crop),is50k) on $PKL"
 
 echo "== [4/6] IvOM latent projection =="
 python3 run_projector.py project-real-images --network "$PKL" \
@@ -64,6 +85,8 @@ python3 run_projector.py project-real-images --network "$PKL" \
   --num-images "${IVOM_IMAGES:-300}" --num-steps 400 \
   --lpips-weights "$LPIPS_NPZ" \
   --result-dir "$RESULT_DIR" 2>&1 | tail -10
+python3 scripts/record_quality_digest.py "$RESULT_DIR"/*-run_projector* \
+  --note "IvOM on $PKL"
 
 echo "== [5/6] generator CLI smoke =="
 python3 run_generator.py generate-images --network "$PKL" \
@@ -74,5 +97,11 @@ echo "   512 latents make this the longest stage - run last so an"
 echo "   interrupted session loses the least) =="
 python3 run_metrics.py --network "$PKL" --data-dir "$DATA_DIR" \
   --dataset "$DATASET" --metrics ls 2>&1 | tail -8
+python3 scripts/record_quality_digest.py "$RESULT_DIR"/*-run_metrics \
+  --note "ls on $PKL"
 
-echo "== done: artifacts under $RUN_DIR and $RESULT_DIR =="
+git add artifacts/celeba_quality_digest.json \
+  artifacts/celeba_best_weights_fp16.pkl* 2>/dev/null \
+  && git commit -q -m "CelebA quality loop: digest + best-snapshot mirror" \
+  || true
+echo "== done: artifacts under $RUN_DIR, $RESULT_DIR and artifacts/ =="

@@ -153,3 +153,30 @@ def test_fused_bias_act_clamp():
     x = _rand((1, 2, 2, 2)) * 100
     y = fused_bias_act(x, None, act="linear", clamp=1.5)
     assert float(jnp.max(jnp.abs(y))) <= 1.5 + 1e-6
+
+
+def test_pallas_bias_act_inside_shard_map():
+    """Regression: pallas_call out_shapes must carry the input's vma or
+    shard_map's check_vma rejects the kernel (hit by the on-chip G-step
+    A/B, scripts/probe_g_step_ab.py pallas variant)."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from inclusivegan_tpu.ops.pallas_kernels import bias_act_lrelu_pallas
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), ("data",))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 8), jnp.float32)
+    b = jnp.asarray(np.random.RandomState(1).randn(8), jnp.float32)
+
+    @jax.jit
+    def run(x, b):
+        return jax.shard_map(
+            lambda xx, bb: bias_act_lrelu_pallas(xx, bb),
+            mesh=mesh, in_specs=(P("data"), P()),
+            out_specs=P("data"))(x, b)
+
+    y = run(x, b)
+    ref = jnp.maximum(x + b[None, :, None, None], 0.2 * (
+        x + b[None, :, None, None])) * np.sqrt(2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)

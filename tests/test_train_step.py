@@ -190,3 +190,113 @@ def test_grad_accumulation_r1_matches_full_batch():
     w2 = np.asarray(s2.d_params["4x4"]["Conv"]["weight"])
     assert float(np.abs(w1 - np.asarray(state.d_params["4x4"]["Conv"]["weight"])).max()) > 0
     np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=2e-6)
+
+
+def test_invariant_rng_sharding_semantics():
+    """TrainConfig.invariant_rng: the SAME global batch + step key compute
+    the same thing on a 1-device and an 8-device data mesh — per-example
+    draws are keyed by global example index, batch-scalar draws by the
+    replicated phase key, and mbstd uses contiguous (shard-aligned)
+    grouping.
+
+    Two levels of claim:
+      1. Phase-level (tight): every phase evaluated from the same state
+         yields identical scalars — including the second-order
+         gradient_penalty_D and pl_penalty — up to float reduction order.
+      2. Full-step trajectory (bounded): after all four sequential phases,
+         scalars agree to ~1% and every updated parameter is within the
+         Adam first-step bound. Exact equality is impossible through Adam
+         with beta1=0: the first update is lr*g/(|g|+eps) ≈ lr*sign(g), so
+         reduction-order noise on near-zero gradients flips single-param
+         updates by ±lr — an optimizer discontinuity, not a sharding
+         semantics difference (the phase-level check above is the
+         semantics)."""
+    G = GMain.create(resolution=RES, num_channels=3, latent_size=ZDIM,
+                     dlatent_size=ZDIM, fmap_base=256, fmap_max=32,
+                     mapping_layers=2, mapping_fmaps=32)
+    D = Discriminator(resolution=RES, num_channels=3, fmap_base=256,
+                      fmap_max=32, mbstd_group_size=2, mbstd_contiguous=True)
+    lp = init_lpips_params(seed=7)
+    state0 = create_train_state(jax.random.key(0), G, D)
+    batch = _batch(3)
+    cfg = TrainConfig(mirror_augment=True, invariant_rng=True)
+    lr = jnp.float32(0.002)
+    key = jax.random.key(5)
+
+    phase_scalars = {}
+    full = {}
+    for n_dev in (1, 8):
+        mesh = make_data_mesh(n_dev)
+        from inclusivegan_tpu.parallel import shard_batch
+        b = shard_batch(mesh, batch)
+        step = make_train_step(G, D, lp, mesh, cfg)
+        bg = {k: b[k] for k in ("reals_rec_1", "labels_rec_1",
+                                "latents_rec_1", "reals_rec_2",
+                                "labels_rec_2", "latents_rec_2")}
+        bd = {"reals": b["reals"], "labels": b["labels"]}
+        ph = step.phases
+        sc = {}
+        _, s = ph["g_step"](state0, bg, key, lr, jnp.float32(2.5))
+        sc.update(s)
+        _, s = ph["g_reg_step"](state0, key, lr, MB // n_dev)
+        sc.update(s)
+        _, s = ph["d_step"](state0, bd, key, lr, jnp.float32(0.99))
+        sc.update(s)
+        _, s = ph["d_reg_step"](state0, bd, key, lr, jnp.float32(10.0))
+        sc.update(s)
+        phase_scalars[n_dev] = jax.device_get(sc)
+
+        st, scalars = step(state0, b, key, lr, lr, jnp.float32(0.99),
+                           do_g_reg=True, do_d_reg=True)
+        full[n_dev] = (jax.device_get(st), jax.device_get(scalars))
+
+    # 1. phase-level: tight (pure reduction-order tolerance)
+    sc1, sc8 = phase_scalars[1], phase_scalars[8]
+    assert set(sc1) == set(sc8) and len(sc1) >= 10
+    for name in sorted(sc1):
+        np.testing.assert_allclose(sc1[name], sc8[name], rtol=2e-4,
+                                   atol=2e-5, err_msg=name)
+
+    # 2. full-step trajectory: bounded by the Adam discontinuity
+    (s1, f1), (s8, f8) = full[1], full[8]
+    for name in sorted(f1):
+        np.testing.assert_allclose(f1[name], f8[name], rtol=1.5e-2,
+                                   atol=1e-3, err_msg=name)
+    lookup8 = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(s8.g_params)}
+    # lazy-reg folding scales the G lr by 1/interval cadence factors; 3*lr
+    # comfortably bounds two phase updates of ±lr(*lr_mul) each
+    bound = 3 * float(lr)
+    diffs = []
+    for k, v in jax.tree_util.tree_leaves_with_path(s1.g_params):
+        d = np.abs(v - lookup8[jax.tree_util.keystr(k)])
+        assert d.max() <= bound, (jax.tree_util.keystr(k), d.max())
+        diffs.append(d.ravel())
+    # ...and the flips are rare: the typical parameter agrees to <1e-5
+    assert np.median(np.concatenate(diffs)) < 1e-5
+    np.testing.assert_allclose(s1.pl_mean, s8.pl_mean, rtol=1e-3)
+
+
+def test_device_folded_rng_differs_across_mesh_sizes():
+    """Sanity contrast: the default device-folded RNG (reference-style
+    independent per-device draws) does NOT reproduce across mesh sizes —
+    the invariance above is a property of invariant_rng, not a tautology."""
+    G = GMain.create(resolution=RES, num_channels=3, latent_size=ZDIM,
+                     dlatent_size=ZDIM, fmap_base=256, fmap_max=32,
+                     mapping_layers=2, mapping_fmaps=32)
+    D = Discriminator(resolution=RES, num_channels=3, fmap_base=256,
+                      fmap_max=32, mbstd_group_size=2)
+    lp = init_lpips_params(seed=7)
+    state0 = create_train_state(jax.random.key(0), G, D)
+    batch = _batch(3)
+    cfg = TrainConfig(mirror_augment=True)
+
+    vals = []
+    for n_dev in (1, 8):
+        mesh = make_data_mesh(n_dev)
+        step = make_train_step(G, D, lp, mesh, cfg)
+        _, scalars = step(state0, batch, jax.random.key(5),
+                          jnp.float32(0.002), jnp.float32(0.002),
+                          jnp.float32(0.99), do_g_reg=False, do_d_reg=False)
+        vals.append(float(scalars["Loss/G_total"]))
+    assert abs(vals[0] - vals[1]) > 1e-6
