@@ -79,6 +79,15 @@ def _dense(x, w, lrmul=1.0, gain=1.0):
                    preferred_element_type=x.dtype)
 
 
+def _upfirdn_impl():
+    """INCLUSIVEGAN_TPU_UPFIRDN_IMPL=pallas routes the STANDALONE skip-path
+    resamples (G torgb upsample, D fromrgb downsample) through the Pallas FIR
+    kernel (ops/pallas_kernels.py::upfirdn2d_pallas); the conv-fused
+    up/downsample paths always use the grouped-conv XLA form. Read at trace
+    time, like the bias-act flag below."""
+    return os.environ.get("INCLUSIVEGAN_TPU_UPFIRDN_IMPL", "conv")
+
+
 def _bias_act(x, b, act="linear", lrmul=1.0, gain=None, axis=1):
     # INCLUSIVEGAN_TPU_BIAS_ACT_IMPL=pallas routes 4-D lrelu activations
     # through ops/pallas_kernels.py (read at trace time; the kernel falls
@@ -373,7 +382,7 @@ class GSynthesis:
                             resample_kernel=rk)
                 x = (x + t) * np.float32(1 / np.sqrt(2))
             if self.architecture == "skip":
-                y = upsample2d(y, rk)
+                y = upsample2d(y, rk, impl=_upfirdn_impl())
             if self.architecture == "skip" or res == self.resolution_log2:
                 y = torgb(x, y, res, blk["ToRGB"])
         return y
@@ -667,7 +676,7 @@ class Discriminator:
                 x = (x + t) * np.float32(1 / np.sqrt(2))
             feat(x)
             if self.architecture == "skip":
-                y = downsample2d(y, rk)
+                y = downsample2d(y, rk, impl=_upfirdn_impl())
 
         p4 = params["4x4"]
         if self.architecture == "skip":

@@ -78,10 +78,26 @@ def _bias_lrelu_2d(x2d: jnp.ndarray, brow: jnp.ndarray, alpha: float,
     )(x2d, brow[:, None].astype(x2d.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def bias_act_lrelu_pallas(x, b, axis: int = 1, alpha: float = 0.2,
                           gain: float = float(np.sqrt(2))):
-    """y = lrelu(x + b[axis]) * gain as one Pallas VPU pass. x: [N,C,H,W]."""
+    """y = lrelu(x + b[axis]) * gain as one Pallas VPU pass. x: [N,C,H,W].
+
+    Differentiable to every order via custom_jvp: the tangent map is
+    ``slope(y) * (dx + db)`` with ``slope = gain·[alpha if y<0 else 1]`` —
+    sign(y) == sign(x+b) because lrelu is monotonic with gain>0, the same
+    output-only-residual trick as the reference's grad kernels
+    (fused_bias_act.py:96-141). The tangent expression is built from
+    transposable primitives, so JAX derives reverse mode automatically, and
+    slope's own derivative is 0 a.e. — matching the reference's grad=2
+    second-order semantics (fused_bias_act.cu:60-100), which R1 and the
+    path-length regularizer rely on."""
+    if b is None:
+        b = jnp.zeros((x.shape[axis],), x.dtype)
+    return _bias_act_lrelu_p(x, b, axis, alpha, gain)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def _bias_act_lrelu_p(x, b, axis, alpha, gain):
     return _fwd_impl(x, b, axis, alpha, gain)
 
 
@@ -89,29 +105,21 @@ def _fwd_impl(x, b, axis, alpha, gain):
     n, c, h, w = x.shape
     assert axis == 1
     x2d = x.reshape(n * c, h * w)
-    if b is None:
-        brow = jnp.zeros((n * c,), x.dtype)
-    else:
-        brow = jnp.tile(b, n)
+    brow = jnp.tile(b, n)
     y2d = _bias_lrelu_2d(x2d, brow, alpha, gain)
     return y2d.reshape(n, c, h, w)
 
 
-def _fwd(x, b, axis, alpha, gain):
-    y = _fwd_impl(x, b, axis, alpha, gain)
-    # lrelu is monotonic with gain>0, so sign(y) == sign(x+b): y is the only
-    # residual needed (same trick as the reference's grad kernels which take
-    # the forward output, fused_bias_act.py:96-141).
-    return y, (y, None if b is None else b.shape)
-
-def _bwd(axis, alpha, gain, res, g):
-    y, b_shape = res
-    slope = jnp.where(y >= 0, gain, gain * alpha).astype(g.dtype)
-    dx = g * slope
-    db = None if b_shape is None else jnp.sum(dx, axis=(0, 2, 3))
-    return dx, db
-
-bias_act_lrelu_pallas.defvjp(_fwd, _bwd)
+@_bias_act_lrelu_p.defjvp
+def _bias_act_jvp(axis, alpha, gain, primals, tangents):
+    x, b = primals
+    dx, db = tangents
+    y = _bias_act_lrelu_p(x, b, axis, alpha, gain)
+    slope = jnp.where(y >= 0, gain, gain * alpha).astype(y.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    dy = slope * (dx + db.reshape(shape).astype(dx.dtype))
+    return y, dy
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +169,14 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
                      pad: Tuple[int, int, int, int], gain: float):
     """Pallas-backed upfirdn2d on NCHW input (see ops/upfirdn2d.py for the
     op contract). Host does the zero-insert + edge pad (pure relayout); the
-    kernel does the FIR + downsample per (n, c) image."""
+    kernel does the FIR + downsample per (n, c) image.
+
+    Differentiable to every order: the VJP is another upfirdn2d with flipped
+    taps and swapped up/down (the reference wrapper's gradient construction,
+    upfirdn_2d.py:130-140), so the backward pass reuses this same kernel and
+    the second-order path needed by R1 (loss.py:107-111) is exact. The FIR
+    taps must be concrete at trace time (they are baked into the kernel as
+    static floats); every model call site passes a static resample kernel."""
     if _interpret() and jax.typeof(x).vma:
         # interpret-mode kernels cannot run under shard_map's vma checking
         # (in-kernel literals are non-varying) — same rationale as
@@ -169,10 +184,45 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
         from .upfirdn2d import _upfirdn2d_conv
         return _upfirdn2d_conv(x, jnp.asarray(f, jnp.float32), up, down,
                                pad, gain)
+    taps = tuple(tuple(float(v) for v in row)
+                 for row in np.asarray(f, np.float32))
+    return _upfirdn_core(x, taps, up, down, tuple(pad), float(gain))
+
+
+def _upfirdn_core(x, taps, up, down, pad, gain):
+    """All-order-differentiable Pallas upfirdn. The op is LINEAR in x, so
+    ``jax.custom_derivatives.linear_call`` pairs the kernel with its exact
+    transpose — flipped taps, swapped up/down, and the pad that reconstructs
+    the input extent (the reference wrapper's gradient construction,
+    upfirdn_2d.py:130-140; gain carries over UNCHANGED — the up²/down²
+    factor in the reference belongs to its public up/downsample wrapper
+    gains, not to the raw op transpose — verified against XLA autodiff in
+    tests/test_ops.py). Every AD order (R1's double backprop included)
+    reduces to linear_calls of the same two kernel invocations."""
+    in_h, in_w = x.shape[2], x.shape[3]
+    kh, kw = len(taps), len(taps[0])
+    padx0, padx1, pady0, pady1 = pad
+    out_h = (in_h * up + pady0 + pady1 - kh) // down + 1
+    out_w = (in_w * up + padx0 + padx1 - kw) // down + 1
+    gpad = (kw - padx0 - 1,
+            in_w * up - out_w * down + padx0 - up + 1,
+            kh - pady0 - 1,
+            in_h * up - out_h * down + pady0 - up + 1)
+    ftaps = tuple(tuple(reversed(row)) for row in reversed(taps))
+
+    def fwd(_, v):
+        return _upfirdn_core_impl(v, taps, up, down, pad, gain)
+
+    def bwd(_, g):
+        return _upfirdn_core_impl(g, ftaps, down, up, gpad, gain)
+
+    return jax.custom_derivatives.linear_call(fwd, bwd, (), x)
+
+
+def _upfirdn_core_impl(x, taps, up, down, pad, gain):
     padx0, padx1, pady0, pady1 = pad
     n, c, h, w = x.shape
-    f = jnp.asarray(f, jnp.float32)
-    kh, kw = f.shape
+    kh, kw = len(taps), len(taps[0])
     oh = (h * up + pady0 + pady1 - kh) // down + 1
     ow = (w * up + padx0 + padx1 - kw) // down + 1
     # pad so the kernel's full-rate extent oh·down + kh - 1 is covered
@@ -188,11 +238,11 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
     ])
     hp, wp = xp.shape[2], xp.shape[3]
     # flipped taps * gain, baked in as static python floats
-    kf = np.asarray(f)[::-1, ::-1] * gain
-    taps = tuple(tuple(float(v) for v in row) for row in kf)
+    kf = np.asarray(taps)[::-1, ::-1] * gain
+    ktaps = tuple(tuple(float(v) for v in row) for row in kf)
     xp2 = xp.reshape(n * c, hp, wp)
     y = pl.pallas_call(
-        functools.partial(_fir_kernel, taps=taps, down=down, oh=oh, ow=ow),
+        functools.partial(_fir_kernel, taps=ktaps, down=down, oh=oh, ow=ow),
         out_shape=jax.ShapeDtypeStruct((n * c, oh, ow), x.dtype,
                                        vma=jax.typeof(xp2).vma),
         grid=(n * c,),
@@ -203,3 +253,5 @@ def upfirdn2d_pallas(x, f, up: int, down: int,
         interpret=_interpret(),
     )(xp2)
     return y.reshape(n, c, oh, ow)
+
+

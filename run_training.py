@@ -35,7 +35,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         NN_rec_lpips_weight, dist_thres_percentile, attr_interesting,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
         resume_checkpoint=None, dtype="float32", knn_backend="auto",
-        lpips_weights=None):
+        lpips_weights=None, image_snapshot_ticks=None,
+        network_snapshot_ticks=None):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -74,6 +75,10 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
                  knn_backend=knn_backend)
     if smoke_test_max_iters:
         train.smoke_test_max_iters = smoke_test_max_iters
+    if image_snapshot_ticks is not None:
+        train.image_snapshot_ticks = image_snapshot_ticks
+    if network_snapshot_ticks is not None:
+        train.network_snapshot_ticks = network_snapshot_ticks
 
     desc = "stylegan2"
     desc += "-" + dataset
@@ -198,6 +203,13 @@ def main():
                              "else the pixel-pyramid fallback")
     parser.add_argument("--smoke-test-max-iters", default=None, type=int,
                         help="stop after N iterations (CI smoke runs)")
+    parser.add_argument("--image-snapshot-ticks", default=None, type=int,
+                        help="grid-image cadence in ticks (default: derived "
+                             "from data size, training_loop.py)")
+    parser.add_argument("--network-snapshot-ticks", default=None, type=int,
+                        help="snapshot+metric cadence in ticks (default: "
+                             "derived from data size; short matched-seed "
+                             "runs want a denser fid trajectory)")
 
     args = parser.parse_args()
     if not os.path.exists(args.data_dir):

@@ -100,6 +100,17 @@ def main():
                         "falls back to the pixel-pyramid metric, which has "
                         "no perceptual separation pressure (BENCH_NOTES "
                         "mode-collapse post-mortem)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="activation dtype (params/optimizer stay fp32). "
+                        "float32 exists for matched-seed dtype-parity runs "
+                        "(VERDICT r2 item 5); bfloat16 is the TPU-native "
+                        "production configuration")
+    p.add_argument("--ema-kimg", type=float, default=10.0,
+                   help="G_smoothing_kimg (reference training_loop.py:137). "
+                        "Large-batch recipes keep the EMA horizon in kimg "
+                        "constant, which shortens it in STEPS as minibatch "
+                        "grows")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -129,9 +140,9 @@ def main():
         sc, "inclusivegan_tpu.training.training_loop.training_loop",
         # config-e-Gskip-Dresnet semantics (reference run_training.py:19-32)
         G_args=EasyDict(fmap_base=8 << 10, architecture="skip",
-                        dtype=jnp.bfloat16),
+                        dtype=jnp.dtype(args.dtype).type),
         D_args=EasyDict(fmap_base=8 << 10, architecture="resnet",
-                        mbstd_group_size=8, dtype=jnp.bfloat16),
+                        mbstd_group_size=8, dtype=jnp.dtype(args.dtype).type),
         G_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
         D_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
         G_loss_args=EasyDict(NN_rec_lpips_weight=args.rec_weight),
@@ -146,6 +157,7 @@ def main():
         metric_arg_list=metrics,
         data_dir=args.data_dir,
         seed=args.seed,
+        G_smoothing_kimg=args.ema_kimg,
         total_kimg=args.data_size * args.num_epochs // 1000,
         mirror_augment=False,
         data_size=args.data_size,

@@ -31,8 +31,10 @@ from inclusivegan_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def bench_variant(name, *, batched, bias_impl, iters=24):
+def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
+                  mb_per_chip=6):
     os.environ["INCLUSIVEGAN_TPU_BIAS_ACT_IMPL"] = bias_impl
+    os.environ["INCLUSIVEGAN_TPU_UPFIRDN_IMPL"] = fir_impl
     import jax
     import jax.numpy as jnp
     from inclusivegan_tpu.models import Discriminator, GMain
@@ -42,7 +44,7 @@ def bench_variant(name, *, batched, bias_impl, iters=24):
     from inclusivegan_tpu.training.train_step import (TrainConfig,
                                                       make_train_step)
 
-    res, zdim, mb_per_chip = 128, 512, 6
+    res, zdim = 128, 512
     n_dev = len(jax.devices())
     mb = mb_per_chip * n_dev
     dtype = jnp.bfloat16
@@ -97,7 +99,8 @@ def bench_variant(name, *, batched, bias_impl, iters=24):
     state = run(state, 4, False, False)
     compile_s = time.time() - t0
 
-    out = {"variant": name, "devices": n_dev, "compile_s": round(compile_s, 1)}
+    out = {"variant": name, "devices": n_dev, "mb_per_chip": mb_per_chip,
+           "compile_s": round(compile_s, 1)}
     for kind, g_reg, d_reg in (("plain", False, False),
                                ("greg", True, False),
                                ("dreg", False, True)):
@@ -119,15 +122,22 @@ def bench_variant(name, *, batched, bias_impl, iters=24):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="base,batched,pallas")
+    ap.add_argument("--mb", type=int, default=6,
+                    help="minibatch per chip (6 = reference semantics; 24 = "
+                         "the large-batch recipe candidate, VERDICT r2 item 3)")
     args = ap.parse_args()
     cfgs = {
         "base": dict(batched=False, bias_impl="jax"),
         "batched": dict(batched=True, bias_impl="jax"),
         "pallas": dict(batched=False, bias_impl="pallas"),
         "batched+pallas": dict(batched=True, bias_impl="pallas"),
+        # standalone skip-path FIR resamples through the Pallas kernel
+        "pallas-fir": dict(batched=False, bias_impl="jax", fir_impl="pallas"),
+        "pallas-all": dict(batched=False, bias_impl="pallas",
+                           fir_impl="pallas"),
     }
     for v in args.variants.split(","):
-        bench_variant(v, **cfgs[v])
+        bench_variant(v, mb_per_chip=args.mb, **cfgs[v])
 
 
 if __name__ == "__main__":

@@ -58,6 +58,28 @@ def test_upfirdn2d_gradients_match():
     np.testing.assert_allclose(gg_fast, gg_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, 1), (2, 1, 2), (1, 2, 1), (2, 2, 3), (1, 1, (2, 1, 0, 3)),
+])
+def test_upfirdn2d_pallas_gradients_match(up, down, pad):
+    """The Pallas kernel's custom VJP (flipped taps, swapped up/down —
+    reference upfirdn_2d.py:130-140) must agree with XLA autodiff through the
+    conv path, to 2nd order (R1 differentiates the D downsample twice)."""
+    x = _rand((1, 2, 6, 6))
+    f = setup_filter(RK)
+
+    def loss(impl):
+        return lambda x: jnp.sum(
+            upfirdn2d(x, f, up=up, down=down, pad=pad, impl=impl) ** 2)
+
+    g_ref = jax.grad(loss("conv"))(x)
+    g_pl = jax.grad(loss("pallas"))(x)
+    np.testing.assert_allclose(g_pl, g_ref, rtol=1e-4, atol=1e-5)
+    gg_ref = jax.grad(lambda x: jnp.sum(jax.grad(loss("conv"))(x) ** 2))(x)
+    gg_pl = jax.grad(lambda x: jnp.sum(jax.grad(loss("pallas"))(x) ** 2))(x)
+    np.testing.assert_allclose(gg_pl, gg_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_upsample_downsample_shapes_and_roundtrip_dc():
     x = jnp.ones((1, 1, 8, 8))
     up = upsample2d(x, RK, factor=2)
@@ -147,6 +169,31 @@ def test_bias_act_pallas_matches_jax():
     g_jax = jax.grad(lambda x: jnp.sum(fused_bias_act(x, b, act="lrelu") ** 2))(x)
     g_pl = jax.grad(lambda x: jnp.sum(fused_bias_act(x, b, act="lrelu", impl="pallas") ** 2))(x)
     np.testing.assert_allclose(g_pl, g_jax, rtol=1e-5, atol=1e-6)
+
+
+def test_bias_act_pallas_second_order_grad():
+    """R1 and path-reg differentiate the activation twice; the Pallas
+    custom_jvp must agree with XLA autodiff through the jnp form."""
+    x = _rand((2, 3, 4, 4))
+    b = _rand((3,), seed=1)
+
+    def loss(impl):
+        return lambda x: jnp.sum(
+            fused_bias_act(x, b, act="lrelu", impl=impl) ** 2)
+
+    for order in range(2):
+        g_jax = jax.grad(loss("jax"))(x)
+        g_pl = jax.grad(loss("pallas"))(x)
+        np.testing.assert_allclose(g_pl, g_jax, rtol=1e-5, atol=1e-6)
+    gg_jax = jax.grad(lambda x: jnp.sum(jax.grad(loss("jax"))(x) ** 2))(x)
+    gg_pl = jax.grad(lambda x: jnp.sum(jax.grad(loss("pallas"))(x) ** 2))(x)
+    np.testing.assert_allclose(gg_pl, gg_jax, rtol=1e-5, atol=1e-6)
+    # bias grad parity too (db = sum over N,H,W of slope*g)
+    db_jax = jax.grad(lambda b: jnp.sum(
+        fused_bias_act(x, b, act="lrelu", impl="jax") ** 2))(b)
+    db_pl = jax.grad(lambda b: jnp.sum(
+        fused_bias_act(x, b, act="lrelu", impl="pallas") ** 2))(b)
+    np.testing.assert_allclose(db_pl, db_jax, rtol=1e-5, atol=1e-6)
 
 
 def test_fused_bias_act_clamp():
