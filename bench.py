@@ -220,6 +220,9 @@ def main():
             "baseline_band_imgs_per_sec": [39, 57],
         },
     }
+    recipe = _large_batch_recipe()
+    if recipe is not None:
+        result["detail"]["large_batch_recipe"] = recipe
     mc = _artifact_mode_coverage()
     if mc is not None:
         result["detail"]["stacked_mnist_mode_counts_24k"] = mc["count"]
@@ -280,6 +283,21 @@ def _mfu(step, state, batch, key, lr, gs_beta, imgs_per_sec, mb):
         }
     except Exception as e:  # cost_analysis availability varies by backend
         return {"mfu_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _large_batch_recipe():
+    """Measured large-batch recipe record (VERDICT r2 item 3): written by the
+    round-3 measurement session after (a) probe_g_step_ab --mb 24 measured
+    the throughput on this chip and (b) exp_matched_arms.sh validated the
+    lr/EMA-adjusted large-batch arm against the production arm at matched
+    kimg (artifacts/matched_arms_digest.json). The headline stays at the
+    reference's mb6 semantics; this row records what the same chip does when
+    the batch lever is used."""
+    try:
+        with open("artifacts/large_batch_recipe.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def _artifact_mode_coverage():
