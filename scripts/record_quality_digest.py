@@ -48,7 +48,8 @@ def parse_ivom(log_path):
     with open(log_path) as f:
         for line in f:
             m = re.search(r"IvOM \(LPIPS after (\d+) steps over (\d+).*?:\s*"
-                          r"([0-9.eE+-]+)\s*±\s*([0-9.eE+-]+)", line)
+                          r"([0-9.eE]+(?:[+-][0-9]+)?)\s*(?:±|\+-)\s*"
+                          r"([0-9.eE]+(?:[+-][0-9]+)?)", line)
             if m:
                 out.append({"steps": int(m.group(1)),
                             "images": int(m.group(2)),

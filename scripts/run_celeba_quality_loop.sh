@@ -85,7 +85,7 @@ python3 run_projector.py project-real-images --network "$PKL" \
   --num-images "${IVOM_IMAGES:-300}" --num-steps 400 \
   --lpips-weights "$LPIPS_NPZ" \
   --result-dir "$RESULT_DIR" 2>&1 | tail -10
-python3 scripts/record_quality_digest.py "$RESULT_DIR"/*-run_projector* \
+python3 scripts/record_quality_digest.py "$RESULT_DIR"/*project-real-images* \
   --note "IvOM on $PKL"
 
 echo "== [5/6] generator CLI smoke =="
