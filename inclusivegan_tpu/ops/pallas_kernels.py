@@ -43,7 +43,10 @@ def _interpret() -> bool:
 
 def _bias_lrelu_kernel(x_ref, b_ref, y_ref, *, alpha: float, gain: float):
     x = x_ref[:] + b_ref[:]  # (bm, K) + (bm, 1) broadcasts on the VPU
-    y_ref[:] = jnp.where(x >= 0, x, x * alpha) * gain
+    # v5e Mosaic has no bf16 vector cmpf ("Target does not support this
+    # comparison"); compare in f32 — the cast fuses into the same VPU pass
+    mask = x.astype(jnp.float32) >= 0
+    y_ref[:] = jnp.where(mask, x, x * alpha) * gain
 
 
 def _bias_lrelu_2d(x2d: jnp.ndarray, brow: jnp.ndarray, alpha: float,

@@ -38,19 +38,25 @@ Pad = Union[int, Tuple[int, int], Tuple[int, int, int, int]]
 
 
 def setup_filter(f, normalize: bool = True, flip: bool = False,
-                 gain: float = 1.0, separable: Optional[bool] = None) -> jnp.ndarray:
+                 gain: float = 1.0, separable: Optional[bool] = None) -> np.ndarray:
     """Prepare a FIR filter: 1-D taps are outer-producted to 2-D, normalized
-    to unit sum, optionally scaled (reference: upfirdn_2d.py:16-24 _setup_kernel)."""
+    to unit sum, optionally scaled (reference: upfirdn_2d.py:16-24 _setup_kernel).
+
+    Computed in NUMPY on purpose: every call site passes a static python
+    list, and under jit all jnp ops are staged — a jnp version would hand
+    the pallas path a tracer where its kernel needs concrete taps. The
+    returned np array embeds as an XLA constant on the conv path exactly as
+    the jnp constant did."""
     if f is None:
         f = 1
-    f = jnp.asarray(f, dtype=jnp.float32)
+    f = np.asarray(f, dtype=np.float32)
     if f.ndim == 0:
-        f = f[jnp.newaxis]
+        f = f[np.newaxis]
     assert f.ndim in (1, 2)
     if f.ndim == 1:
-        f = jnp.outer(f, f)
+        f = np.outer(f, f)
     if normalize:
-        f = f / jnp.sum(f)
+        f = f / np.sum(f)
     if flip:
         f = f[::-1, ::-1]
     return f * gain
@@ -90,9 +96,14 @@ def upfirdn2d(x, f, up: int = 1, down: int = 1, pad: Pad = 0,
     ``(in*up + pad0 + pad1 - k) // down + 1`` — identical to the reference op
     (upfirdn_2d.cu shape logic at :232).
     """
-    f = jnp.asarray(f, dtype=jnp.float32)
-    if f.ndim == 1:
-        f = jnp.outer(f, f)
+    try:  # static taps stay numpy so the pallas kernel sees concrete floats
+        f = np.asarray(f, dtype=np.float32)
+        if f.ndim == 1:
+            f = np.outer(f, f)
+    except Exception:  # traced filter: conv/ref paths handle it, pallas can't
+        f = jnp.asarray(f, dtype=jnp.float32)
+        if f.ndim == 1:
+            f = jnp.outer(f, f)
     assert f.ndim == 2
     x = _to_nchw(x, data_format)
     padx0, padx1, pady0, pady1 = _parse_padding(pad)

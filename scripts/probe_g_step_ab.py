@@ -137,7 +137,11 @@ def main():
                            fir_impl="pallas"),
     }
     for v in args.variants.split(","):
-        bench_variant(v, mb_per_chip=args.mb, **cfgs[v])
+        try:
+            bench_variant(v, mb_per_chip=args.mb, **cfgs[v])
+        except Exception as e:  # keep measuring the remaining variants
+            print(json.dumps({"variant": v, "error":
+                              f"{type(e).__name__}: {e}"[:300]}), flush=True)
 
 
 if __name__ == "__main__":
