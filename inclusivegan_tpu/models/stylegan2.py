@@ -80,12 +80,18 @@ def _dense(x, w, lrmul=1.0, gain=1.0):
 
 
 def _upfirdn_impl():
-    """INCLUSIVEGAN_TPU_UPFIRDN_IMPL=pallas routes the STANDALONE skip-path
-    resamples (G torgb upsample, D fromrgb downsample) through the Pallas FIR
-    kernel (ops/pallas_kernels.py::upfirdn2d_pallas); the conv-fused
-    up/downsample paths always use the grouped-conv XLA form. Read at trace
-    time, like the bias-act flag below."""
-    return os.environ.get("INCLUSIVEGAN_TPU_UPFIRDN_IMPL", "conv")
+    """Impl for the STANDALONE skip-path resamples (G torgb upsample, D
+    fromrgb downsample); the conv-fused up/downsample paths always use the
+    grouped-conv XLA form. Default on TPU is the Pallas FIR kernel
+    (ops/pallas_kernels.py::upfirdn2d_pallas): measured +12% step throughput
+    over the XLA depthwise-conv form at the production CelebA-128 config
+    (BENCH_NOTES 2026-08-21 A/B: 81.3 vs 72.3 imgs/s/chip, plain-phase
+    80.0→70.4 ms). CPU meshes keep the conv form (the interpret-mode kernel
+    is a per-image python loop). Override with
+    INCLUSIVEGAN_TPU_UPFIRDN_IMPL={conv,pallas}; read at trace time."""
+    import jax
+    default = "conv" if jax.default_backend() == "cpu" else "pallas"
+    return os.environ.get("INCLUSIVEGAN_TPU_UPFIRDN_IMPL", default)
 
 
 def _bias_act(x, b, act="linear", lrmul=1.0, gain=None, axis=1):
