@@ -108,6 +108,24 @@ def load_snapshot(path: str):
     }
 
 
+_DEV_SCALARS: dict = {}
+
+
+def _dev_scalar(x):
+    """Memoized jnp.float32 constant. Lrates and the EMA beta change only at
+    tick boundaries (or per-iteration only during a resume lr ramp), so
+    re-uploading the same scalar every iteration is pure relay overhead —
+    on a remote-attached TPU each tiny H2D transfer rides the same RTT as a
+    big one."""
+    x = float(x)
+    v = _DEV_SCALARS.get(x)
+    if v is None:
+        if len(_DEV_SCALARS) > 4096:  # resume ramps mint fresh values
+            _DEV_SCALARS.clear()
+        v = _DEV_SCALARS[x] = jnp.float32(x)
+    return v
+
+
 def training_loop(
     submit_config=None,
     G_args: dict = {},
@@ -464,8 +482,8 @@ def training_loop(
                 rec_w = (1.0 - t) * cfg.NN_rec_lpips_weight \
                     + t * rec_weight_final
             state, scalars = train_step(
-                state, batch, step_key, jnp.float32(sched.G_lrate),
-                jnp.float32(sched.D_lrate), jnp.float32(gs_beta),
+                state, batch, step_key, _dev_scalar(sched.G_lrate),
+                _dev_scalar(sched.D_lrate), _dev_scalar(gs_beta),
                 do_g_reg=run_G_reg, do_d_reg=run_D_reg, rec_weight=rec_w)
 
             cur_nimg += mb
@@ -476,7 +494,13 @@ def training_loop(
             if enable_profiler and iters_done == 16:
                 jax.profiler.stop_trace()
             if iters_done % 8 == 0 or iters_done <= 2:
-                stats.report_dict({k: float(v) for k, v in scalars.items()})
+                # ONE parallel device_get instead of len(scalars) serial
+                # float() round-trips — through the relay each blocking
+                # fetch costs a full RTT, which dominated the
+                # production-vs-bench step-time gap (BENCH_NOTES r3)
+                host_scalars = jax.device_get(scalars)
+                stats.report_dict({k: float(v)
+                                   for k, v in host_scalars.items()})
             if smoke_test_max_iters and iters_done >= smoke_test_max_iters:
                 break
         if smoke_test_max_iters and iters_done >= smoke_test_max_iters:
