@@ -196,11 +196,14 @@ def main():
         img = sample(state.gs_params, z, k2)
     _ = float(img[0, 0, 0, 0])
     infer_imgs_per_sec = 8 * 64 / (time.time() - t0)
-    result = {
+    headline = {
         "metric": "celeba128_train_imgs_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }
+    result = {
+        **headline,
         "detail": {
             "dtype": str(dtype.__name__),
             "devices": n_dev,
@@ -229,12 +232,30 @@ def main():
         result["detail"]["stacked_mnist_KL24k"] = mc["kl"]
         result["detail"]["mode_coverage_provenance"] = mc["provenance"]
     else:
-        mc = _latest_mode_coverage()
-        if mc is not None:
-            result["detail"]["stacked_mnist_mode_counts_24k"] = mc
+        mc2 = _latest_mode_coverage()
+        if mc2 is not None:
+            result["detail"]["stacked_mnist_mode_counts_24k"] = mc2
             result["detail"]["mode_coverage_provenance"] = (
                 "training-log scrape (no artifact eval record)")
-    print(json.dumps(result))
+
+    # Round-3's single json.dumps(result) line outgrew the driver's tail
+    # capture (BENCH_r03.json parsed:null) — the full record now lives in
+    # a detail file and stdout's LAST line is a compact headline only.
+    import os as _os
+    _os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/bench_detail.json", "w") as f:
+        json.dump(result, f, indent=1)
+    d = result["detail"]
+    for k in ("mfu", "sec_per_kimg", "stacked_mnist_mode_counts_24k",
+              "stacked_mnist_KL24k", "dtype"):
+        if k in d:
+            headline[k] = d[k]
+    headline["detail_path"] = "artifacts/bench_detail.json"
+    out = json.dumps(headline)
+    if len(out) > 500:  # keep the driver's tail capture whole, whatever
+        out = json.dumps({k: headline[k] for k in    # grows into headline
+                          ("metric", "value", "unit", "vs_baseline")})
+    print(out)
 
 
 def _mfu(step, state, batch, key, lr, gs_beta, imgs_per_sec, mb):

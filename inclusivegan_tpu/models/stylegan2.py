@@ -86,11 +86,14 @@ def _upfirdn_impl():
     (ops/pallas_kernels.py::upfirdn2d_pallas): measured +12% step throughput
     over the XLA depthwise-conv form at the production CelebA-128 config
     (BENCH_NOTES 2026-08-21 A/B: 81.3 vs 72.3 imgs/s/chip, plain-phase
-    80.0→70.4 ms). CPU meshes keep the conv form (the interpret-mode kernel
-    is a per-image python loop). Override with
+    80.0→70.4 ms). Only TPU-family backends ('tpu', and 'axon' — this
+    container's remote-TPU relay) get the Mosaic kernel; everything else
+    (cpu: interpret-mode is a per-image python loop; gpu: pltpu.VMEM specs
+    would not compile) keeps the conv form (ADVICE r3). Override with
     INCLUSIVEGAN_TPU_UPFIRDN_IMPL={conv,pallas}; read at trace time."""
     import jax
-    default = "conv" if jax.default_backend() == "cpu" else "pallas"
+    default = ("pallas" if jax.default_backend() in ("tpu", "axon")
+               else "conv")
     return os.environ.get("INCLUSIVEGAN_TPU_UPFIRDN_IMPL", default)
 
 

@@ -142,16 +142,20 @@ def _fir_kernel(x_ref, y_ref, *, taps: Tuple[Tuple[float, ...], ...],
     kh = len(taps)
     kw = len(taps[0])
     fh, fw = oh * down, ow * down  # full-rate extent (host pads to cover it)
+    # Accumulate in float32 regardless of input dtype (ADVICE r3): the conv
+    # path this kernel replaces accumulates on the MXU in f32, and the TPU
+    # VPU computes in f32 natively anyway — bf16 accumulation saved nothing
+    # and drifted. Cast once on store.
     acc = None
     for i in range(kh):
         for j in range(kw):
             t = taps[i][j]
             if t == 0.0:
                 continue
-            term = xp[i:i + fh, j:j + fw] * t
+            term = xp[i:i + fh, j:j + fw].astype(jnp.float32) * t
             acc = term if acc is None else acc + term
     if acc is None:
-        acc = jnp.zeros((fh, fw), xp.dtype)
+        acc = jnp.zeros((fh, fw), jnp.float32)
     if down > 1:
         # Decimation as two 0/1 selection matmuls (MXU-native; Mosaic has no
         # strided slice or rank-changing reshape lowering):
@@ -162,10 +166,10 @@ def _fir_kernel(x_ref, y_ref, *, taps: Tuple[Tuple[float, ...], ...],
         c_sel = (jax.lax.broadcasted_iota(jnp.int32, (fw, ow), 0) ==
                  jax.lax.broadcasted_iota(jnp.int32, (fw, ow), 1) * down
                  ).astype(jnp.float32)
-        acc = jnp.dot(r_sel, jnp.dot(acc.astype(jnp.float32), c_sel,
+        acc = jnp.dot(r_sel, jnp.dot(acc, c_sel,
                                      preferred_element_type=jnp.float32),
-                      preferred_element_type=jnp.float32).astype(xp.dtype)
-    y_ref[0] = acc
+                      preferred_element_type=jnp.float32)
+    y_ref[0] = acc.astype(y_ref.dtype)
 
 
 def upfirdn2d_pallas(x, f, up: int, down: int,

@@ -100,7 +100,9 @@ def upfirdn2d(x, f, up: int = 1, down: int = 1, pad: Pad = 0,
         f = np.asarray(f, dtype=np.float32)
         if f.ndim == 1:
             f = np.outer(f, f)
-    except Exception:  # traced filter: conv/ref paths handle it, pallas can't
+    except jax.errors.TracerArrayConversionError:
+        # traced filter: conv/ref paths handle it, pallas can't. Anything
+        # else (e.g. ragged tap lists) propagates as the real error.
         f = jnp.asarray(f, dtype=jnp.float32)
         if f.ndim == 1:
             f = jnp.outer(f, f)

@@ -42,6 +42,22 @@ def test_upfirdn2d_pallas_matches_ref(up, down, pad):
     np.testing.assert_allclose(y_pl, y_ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("up,down,pad", [(1, 1, 1), (2, 1, 2), (1, 2, 1)])
+def test_upfirdn2d_pallas_bf16_accumulates_f32(up, down, pad):
+    """ADVICE r3: production feeds the FIR kernel bf16 activations. The
+    kernel must accumulate in f32 (as the MXU conv path it replaced does),
+    so its bf16 output may differ from the f32 conv result by one output
+    rounding only — not by accumulated bf16 drift."""
+    x16 = _rand((2, 3, 8, 8), seed=3).astype(jnp.bfloat16)
+    f = setup_filter(RK)
+    y32 = upfirdn2d(x16.astype(jnp.float32), f, up=up, down=down, pad=pad,
+                    impl="conv")
+    y16 = upfirdn2d(x16, f, up=up, down=down, pad=pad, impl="pallas")
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(y16.astype(jnp.float32), y32,
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_upfirdn2d_gradients_match():
     x = _rand((1, 2, 6, 6))
     f = setup_filter(RK)
