@@ -477,6 +477,25 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
 
     num_dev = mesh.devices.size
 
+    _scalar_cache: dict = {}
+
+    def _dev_scalar(v):
+        """Memoized device f32 for the per-iteration loss weights. A fresh
+        ``jnp.float32(x)`` every call costs one relay RTT per phase on a
+        remote-attached TPU (VERDICT r3 #4 — same fix as the lr/beta
+        memoization in training_loop._dev_scalar); rec_weight is constant
+        outside ramps and gamma is constant always, so the cache is tiny.
+        Already-device values (traced or committed arrays) pass through."""
+        if not isinstance(v, (int, float)):
+            return v
+        v = float(v)
+        c = _scalar_cache.get(v)
+        if c is None:
+            if len(_scalar_cache) > 4096:  # rec ramps mint fresh values
+                _scalar_cache.clear()
+            c = _scalar_cache[v] = jnp.float32(v)
+        return c
+
     def train_step(state, batch, rng, g_lrate, d_lrate, gs_beta, *,
                    do_g_reg: bool, do_d_reg: bool, rec_weight=None):
         """One full iteration = the reference's four session.run calls
@@ -492,7 +511,7 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         scalars = {}
         rec_w = (cfg.NN_rec_lpips_weight if rec_weight is None
                  else rec_weight)
-        state, s = g_step(state, batch_g, k1, g_lrate, jnp.float32(rec_w))
+        state, s = g_step(state, batch_g, k1, g_lrate, _dev_scalar(rec_w))
         scalars.update(s)
         if do_g_reg:
             local_mb = batch["latents_rec_1"].shape[0] // num_dev
@@ -502,7 +521,7 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
         scalars.update(s)
         if do_d_reg:
             state, s = d_reg_step(state, batch_d, k4, d_lrate,
-                                  jnp.float32(cfg.gamma))
+                                  _dev_scalar(cfg.gamma))
             scalars.update(s)
         return state, scalars
 

@@ -193,6 +193,12 @@ def training_loop(
     # (reference overlapped via tf.data prefetch, dataset.py:97-120)
     enable_profiler: bool = False,   # jax.profiler trace of iters 8-16
     save_full_checkpoints: bool = True,  # orbax state (params+opt+EMA)
+    invariant_rng: bool = False,  # sharding-invariant per-example RNG:
+    # an n-chip run computes the SAME training trajectory as a 1-chip run
+    # of the same global batch (train_step.py TrainConfig.invariant_rng;
+    # asserted by dryrun_multichip + tests/test_train_step.py). Costs
+    # per-example fold_in vmaps in every phase — see BENCH_NOTES for the
+    # measured on-chip price at production config before enabling on pods.
 ):
     run_dir = submit_config.run_dir if submit_config is not None else "."
     stats = StatsCollector(run_dir)
@@ -386,6 +392,7 @@ def training_loop(
         # match the LPIPS trunk dtype to the networks' activation dtype
         # (bf16 G/D + bf16 VGG is the measured TPU-native configuration)
         lpips_dtype=G_args.get("dtype"),
+        invariant_rng=invariant_rng,
         # the loop threads state linearly (state = train_step(state, ...)),
         # so each phase may write params/moments in place of its input
         donate_state=True)

@@ -36,7 +36,7 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
         resume_checkpoint=None, dtype="float32", knn_backend="auto",
         lpips_weights=None, image_snapshot_ticks=None,
-        network_snapshot_ticks=None):
+        network_snapshot_ticks=None, invariant_rng=False):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -73,6 +73,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
                  dist_thres_percentile=dist_thres_percentile,
                  attr_interesting=attr_interesting,
                  knn_backend=knn_backend)
+    if invariant_rng:
+        train.invariant_rng = True
     if smoke_test_max_iters:
         train.smoke_test_max_iters = smoke_test_max_iters
     if image_snapshot_ticks is not None:
@@ -195,6 +197,12 @@ def main():
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation dtype (bfloat16 = TPU-native; params/optimizer stay fp32)")
+    parser.add_argument("--invariant-rng", default=False, metavar="BOOL",
+                        type=_str_to_bool,
+                        help="sharding-invariant per-example RNG: an n-chip "
+                             "run reproduces the 1-chip trajectory on the "
+                             "same global batches (costs per-example "
+                             "fold_in vmaps; price measured in BENCH_NOTES)")
     parser.add_argument("--lpips-weights", default=None, type=str,
                         help="LPIPS npz for the rec/interp anchor (reference "
                              "hardcodes vgg16_zhang_perceptual.pkl, "

@@ -59,6 +59,31 @@ def test_config_table_and_desc(monkeypatch, tmp_path):
     assert sc.run_desc.endswith("_scratch")
 
 
+def test_invariant_rng_flag_plumbs_to_loop(monkeypatch, tmp_path):
+    """--invariant-rng reaches training_loop(invariant_rng=True) (VERDICT
+    r3 #7: the sharding-invariance mode was reachable only from tests)."""
+    captured = {}
+
+    def fake_submit(sc, fn, **kwargs):
+        captured["kwargs"] = kwargs
+        return None
+
+    monkeypatch.setattr(run_training, "submit_run", fake_submit)
+    common = dict(
+        dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+        config_id="config-e-Gskip-Dresnet", num_devices=2, gamma=None,
+        mirror_augment=False, metrics=[], resume_pkl=None,
+        minibatch_gpu=6, data_size=3000, num_epochs=100, init_proj_dim=None,
+        init_staleness=10, num_samples_factor=10, knn_perturb_factor=0.05,
+        candidate_batch_size=256, exclusive_retrieved_code=0,
+        NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+        attr_interesting=None, init_mul=1.0)
+    run_training.run(invariant_rng=True, **common)
+    assert captured["kwargs"]["invariant_rng"] is True
+    run_training.run(**common)
+    assert "invariant_rng" not in captured["kwargs"]  # loop default (False)
+
+
 def test_config_f_keeps_big_fmaps(monkeypatch, tmp_path):
     captured = {}
     monkeypatch.setattr(run_training, "submit_run",
