@@ -36,7 +36,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         init_mul, total_kimg=None, smoke_test_max_iters=None,
         resume_checkpoint=None, dtype="float32", knn_backend="auto",
         lpips_weights=None, image_snapshot_ticks=None,
-        network_snapshot_ticks=None, invariant_rng=False):
+        network_snapshot_ticks=None, invariant_rng=False,
+        enable_profiler=False):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -75,6 +76,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
                  knn_backend=knn_backend)
     if invariant_rng:
         train.invariant_rng = True
+    if enable_profiler:
+        train.enable_profiler = True
     if smoke_test_max_iters:
         train.smoke_test_max_iters = smoke_test_max_iters
     if image_snapshot_ticks is not None:
@@ -211,6 +214,11 @@ def main():
                              "else the pixel-pyramid fallback")
     parser.add_argument("--smoke-test-max-iters", default=None, type=int,
                         help="stop after N iterations (CI smoke runs)")
+    parser.add_argument("--enable-profiler", default=False, metavar="BOOL",
+                        type=_str_to_bool,
+                        help="record a jax.profiler trace of iterations "
+                             "8-16 into <run_dir>/profile (summarize with "
+                             "scripts/parse_profile.py)")
     parser.add_argument("--image-snapshot-ticks", default=None, type=int,
                         help="grid-image cadence in ticks (default: derived "
                              "from data size, training_loop.py)")
