@@ -100,9 +100,12 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
     arb — separate graph invocations in the reference, loss.py:25-48) into
     ONE synthesis call of 4n images with independent per-group mixing draws,
     and all five LPIPS image stacks into ONE VGG call of 5n. Per-sample
-    semantics are unchanged; measured runtime-equal to the unbatched form on
-    v5e but slower to compile (BENCH_NOTES.md), so the reference-structured
-    form is the default."""
+    semantics are unchanged. On v5e under the Pallas-FIR default this is
+    -26% plain-step time / +24% reg-cadence throughput at mb6 (the 4n
+    batch fills MXU tiles; BENCH_NOTES r4 A/B, both probe orders) and
+    matched-seed quality-neutral on stacked-MNIST (arm D), so it is the
+    production default (TrainConfig.g_loss_batched); batched=False is the
+    reference-structured per-forward variant."""
     n = latents_rec_1.shape[0]
     rng, k_t, k1, k2, k3, k4, k_noise = random.split(rng, 7)
     if example_keys is not None:

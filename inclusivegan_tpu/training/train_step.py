@@ -66,10 +66,15 @@ class TrainConfig(NamedTuple):
     lazy_regularization: bool = True
     lpips_dtype: Any = None  # None → float32; jnp.bfloat16 for MXU-rate VGG
     # One synthesis + one VGG call for the whole G phase instead of the
-    # reference's 4+6 separate forwards. Measured runtime-equal on v5e
-    # (XLA pipelines the small forwards; BENCH_NOTES.md A/B) but the fused
-    # graph compiles ~40% slower — default off.
-    g_loss_batched: bool = False
+    # reference's 4+6 separate forwards. Round-1 measured it runtime-equal
+    # and shelved it; under the round-3 Pallas-FIR default it is +24%
+    # reg-cadence throughput at mb6 (the 4x-concatenated batch fills the
+    # MXU tiles a per-forward batch of 6 leaves empty — BENCH_NOTES r4
+    # A/B, both probe orders) and quality-neutral matched-seed on
+    # stacked-MNIST (arm D 954 modes / KL 0.696 vs arm A 938 / 0.738).
+    # ADOPTED as the default; False restores the reference-structured
+    # per-forward variant.
+    g_loss_batched: bool = True
     # Microbatch gradient-accumulation rounds per phase (reference
     # minibatch_multiplier, optimizer.py:208-234): each phase scans over
     # `rounds` microbatches of size per_device_batch/rounds, sums grads,

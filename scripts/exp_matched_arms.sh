@@ -23,7 +23,9 @@ cd "$(dirname "$0")/.."
 
 DATA_DIR=${DATA_DIR:-/tmp/exp/datasets}
 DATASET=${DATASET:-stacked_synth_60k}
-DATA_SIZE=${DATA_SIZE:-60000}
+# 59904 = 936*64: data_size must divide by every arm's global batch*2
+# (training_loop.py:455; arm C runs mb128 -> 256) — the r3 arms corpus
+DATA_SIZE=${DATA_SIZE:-59904}
 SEED=${SEED:-3000}
 EPOCHS=${EPOCHS:-2} # 60k * 2 = 120 kimg
 DIGEST=${DIGEST:-artifacts/matched_arms_digest.json}
@@ -56,6 +58,10 @@ for arm in "${ARMS[@]}"; do
   A) run_arm A --minibatch 32 --dtype bfloat16 ;;
   B) run_arm B --minibatch 32 --dtype float32 ;;
   C) run_arm C --minibatch 128 --dtype bfloat16 --g-lrate 0.004 --d-lrate 0.004 ;;
+  # D: arm A + the fused G phase (one G forward + one LPIPS pass,
+  # loss.py batched=True) — quality gate for the +24% throughput default
+  # (BENCH_NOTES r4); identical seed/data/recipe to A otherwise
+  D) run_arm D --minibatch 32 --dtype bfloat16 --g-loss-batched 1 ;;
   *)
     echo "unknown arm $arm"
     exit 1

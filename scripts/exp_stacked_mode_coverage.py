@@ -106,6 +106,12 @@ def main():
                         "float32 exists for matched-seed dtype-parity runs "
                         "(VERDICT r2 item 5); bfloat16 is the TPU-native "
                         "production configuration")
+    p.add_argument("--g-loss-batched", type=int, default=0,
+                   help="1 = fuse the four G forwards + six LPIPS passes "
+                        "into one of each (loss.py::g_main_loss batched); "
+                        "same losses in distribution, +63%% on-chip step "
+                        "throughput at mb6 (BENCH_NOTES r4). 0 = the "
+                        "reference-structured per-forward variant")
     p.add_argument("--ema-kimg", type=float, default=10.0,
                    help="G_smoothing_kimg (reference training_loop.py:137). "
                         "Large-batch recipes keep the EMA horizon in kimg "
@@ -145,7 +151,8 @@ def main():
                         mbstd_group_size=8, dtype=jnp.dtype(args.dtype).type),
         G_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
         D_opt_args=EasyDict(beta1=0.0, beta2=0.99, epsilon=1e-8),
-        G_loss_args=EasyDict(NN_rec_lpips_weight=args.rec_weight),
+        G_loss_args=EasyDict(NN_rec_lpips_weight=args.rec_weight,
+                             batched=bool(args.g_loss_batched)),
         D_loss_args=EasyDict(gamma=args.gamma),
         dataset_args=EasyDict(tfrecord_dir=args.dataset, max_label_size=0),
         sched_args=EasyDict(G_lrate_base=args.g_lrate,

@@ -126,15 +126,27 @@ def summarize(profile_dir, top_n=25):
                 cat = cat or _guess_category(name)
                 op_rows[(phase, cat, name)] += dur
                 cat_total_ps[cat] += dur
+    phase_cat = collections.Counter()
+    for (p, c, _o), ps in op_rows.items():
+        phase_cat[(p, c)] += ps
     return {
         "device_planes": device_planes,
         "phase_total_us": {k: v / 1e6 for k, v in phase_total_ps.items()},
         "category_total_us": {k: v / 1e6 for k, v in cat_total_ps.items()},
+        "phase_category_us": {f"{p}|{c}": v / 1e6
+                              for (p, c), v in phase_cat.items()},
         "top_ops": [
             {"phase": p, "category": c, "op": o, "us": ps / 1e6}
             for (p, c, o), ps in op_rows.most_common(top_n)
         ],
     }
+
+
+# Async spans (copy-start/async-start & friends) report start->done windows
+# that OVERLAP compute on parallel queues; summing them alongside sync op
+# durations double-counts wall time. Report them separately.
+_ASYNC_CATS = ("copy-start", "async-start", "copy-done", "async-done",
+               "send", "recv")
 
 
 def _guess_category(name):
@@ -162,9 +174,24 @@ def main():
     print("\n== per-phase device time (XLA Modules line) ==")
     for k, v in sorted(s["phase_total_us"].items(), key=lambda kv: -kv[1]):
         print(f"  {k:<28s} {v:12.1f} us")
-    print("\n== hlo-category rollup (op line) ==")
+    sync_total = sum(v for k, v in s["category_total_us"].items()
+                     if str(k) not in _ASYNC_CATS) or 1.0
+    print("\n== hlo-category rollup, SYNC ops (op line; % of sync time) ==")
     for k, v in sorted(s["category_total_us"].items(), key=lambda kv: -kv[1]):
-        print(f"  {str(k):<28s} {v:12.1f} us  {100*v/total_us:5.1f}%")
+        if str(k) in _ASYNC_CATS:
+            continue
+        print(f"  {str(k):<28s} {v:12.1f} us  {100*v/sync_total:5.1f}%")
+    print("\n== async spans (overlap compute; start->done windows) ==")
+    for k, v in sorted(s["category_total_us"].items(), key=lambda kv: -kv[1]):
+        if str(k) in _ASYNC_CATS:
+            print(f"  {str(k):<28s} {v:12.1f} us")
+    print("\n== per-phase x category (sync ops) ==")
+    rows = sorted(((p_c, v) for p_c, v in s["phase_category_us"].items()
+                   if p_c.split("|", 1)[1] not in _ASYNC_CATS),
+                  key=lambda kv: -kv[1])
+    for p_c, v in rows[:20]:
+        p, c = p_c.split("|", 1)
+        print(f"  {p:<10s} {c:<24s} {v:12.1f} us")
     print(f"\n== top {args.top} ops (phase x category x op) ==")
     for row in s["top_ops"]:
         print(f"  {row['us']:10.1f} us  {row['phase']:<10s} "

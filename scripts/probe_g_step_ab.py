@@ -32,7 +32,7 @@ enable_compilation_cache()
 
 
 def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
-                  mb_per_chip=6):
+                  mb_per_chip=6, lpips_f32=False):
     os.environ["INCLUSIVEGAN_TPU_BIAS_ACT_IMPL"] = bias_impl
     os.environ["INCLUSIVEGAN_TPU_UPFIRDN_IMPL"] = fir_impl
     import jax
@@ -57,7 +57,9 @@ def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
     mesh = make_data_mesh()
     state = create_train_state(jax.random.key(0), G, D)
     step = make_train_step(G, D, init_lpips_params(seed=1), mesh,
-                           TrainConfig(gamma=100.0, lpips_dtype=dtype,
+                           TrainConfig(gamma=100.0,
+                                       lpips_dtype=(jnp.float32 if lpips_f32
+                                                    else dtype),
                                        g_loss_batched=batched,
                                        donate_state=True))
 
@@ -135,6 +137,14 @@ def main():
         "pallas-fir": dict(batched=False, bias_impl="jax", fir_impl="pallas"),
         "pallas-all": dict(batched=False, bias_impl="pallas",
                            fir_impl="pallas"),
+        # round-4 profile-driven A/Bs, both under the SHIPPING TPU default
+        # (pallas FIR) so deltas compose with the adopted kernel:
+        # g_loss_batched re-test (VERDICT r3 item 5 candidate)
+        "fir+batched": dict(batched=True, bias_impl="jax",
+                            fir_impl="pallas"),
+        # price of the bf16 LPIPS trunk default (fp32 trunk comparison)
+        "fir+lpips-f32": dict(batched=False, bias_impl="jax",
+                              fir_impl="pallas", lpips_f32=True),
     }
     for v in args.variants.split(","):
         try:

@@ -26,6 +26,12 @@ if [ ! -f $EXP/datasets/stacked_synth_240k/stacked_synth_240k-rxx.labels ]; then
     $EXP/datasets/stacked_synth_240k $EXP/mnist --num_images 240000
 fi
 
+# 2b. 60k pyramid for the matched-seed arms (exp_matched_arms.sh)
+if [ ! -f $EXP/datasets/stacked_synth_60k/stacked_synth_60k-rxx.labels ]; then
+  JAX_PLATFORMS=cpu python3 dataset_tool.py create_mnistrgb \
+    $EXP/datasets/stacked_synth_60k $EXP/mnist --num_images 60000
+fi
+
 # 3. mode_counts/KL classifier (restore from repo mirror, else train)
 if [ ! -f $EXP/stacked_mnist_classifier.npz ]; then
   if [ -f $REPO/artifacts/stacked_mnist_classifier.npz ]; then

@@ -99,13 +99,15 @@ def test_two_steps_progress_and_finite(setup):
     assert int(s.step) == 2
 
 
-def test_batched_g_loss_variant(setup):
-    """g_loss_batched=True (one synthesis + one VGG call, loss.py) produces
-    finite losses and parameter movement like the reference-structured
-    default."""
+def test_unbatched_g_loss_variant(setup):
+    """g_loss_batched=False — the reference-structured four-forward G phase
+    (loss.py:119-146). Batched=True became the default after the round-4
+    on-chip A/B (+24%) and the matched-seed quality arm (BENCH_NOTES r4),
+    so every other step test now exercises the fused variant; this one
+    keeps the reference-structured path covered."""
     from inclusivegan_tpu.models.lpips import init_lpips_params
     G, D, mesh, state, _ = setup
-    cfg = TrainConfig(mirror_augment=False, g_loss_batched=True)
+    cfg = TrainConfig(mirror_augment=False, g_loss_batched=False)
     step = make_train_step(G, D, init_lpips_params(seed=7), mesh, cfg)
     new_state, scalars = step(state, _batch(9), jax.random.key(9),
                               jnp.float32(0.002), jnp.float32(0.002),
