@@ -84,6 +84,35 @@ def test_invariant_rng_flag_plumbs_to_loop(monkeypatch, tmp_path):
     assert "invariant_rng" not in captured["kwargs"]  # loop default (False)
 
 
+def test_g_loss_batched_and_profiler_flags_plumb(monkeypatch, tmp_path):
+    """--g-loss-batched false reaches G_loss_args.batched=False (the
+    reference-structured G phase; batched became the default in r4) and
+    --enable-profiler reaches training_loop(enable_profiler=True)."""
+    captured = {}
+
+    def fake_submit(sc, fn, **kwargs):
+        captured["kwargs"] = kwargs
+        return None
+
+    monkeypatch.setattr(run_training, "submit_run", fake_submit)
+    common = dict(
+        dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+        config_id="config-e-Gskip-Dresnet", num_devices=1, gamma=None,
+        mirror_augment=False, metrics=[], resume_pkl=None,
+        minibatch_gpu=6, data_size=3000, num_epochs=100, init_proj_dim=None,
+        init_staleness=10, num_samples_factor=10, knn_perturb_factor=0.05,
+        candidate_batch_size=256, exclusive_retrieved_code=0,
+        NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+        attr_interesting=None, init_mul=1.0)
+    run_training.run(g_loss_batched=False, enable_profiler=True, **common)
+    assert captured["kwargs"]["G_loss_args"]["batched"] is False
+    assert captured["kwargs"]["enable_profiler"] is True
+    run_training.run(**common)
+    # unset flag -> loop decides (TrainConfig default True, r4 adoption)
+    assert "batched" not in captured["kwargs"]["G_loss_args"]
+    assert "enable_profiler" not in captured["kwargs"]
+
+
 def test_config_f_keeps_big_fmaps(monkeypatch, tmp_path):
     captured = {}
     monkeypatch.setattr(run_training, "submit_run",
