@@ -165,6 +165,24 @@ def _normalize_channels(x, eps=1e-10):
     return x * lax.rsqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + eps)
 
 
+def _normalize_channels_trunk_dtype(x, eps=1e-10):
+    """Channel-normalize WITHOUT materializing a float32 copy of the map.
+
+    The default path casts each tap feature map to f32 before normalizing
+    (lpips_features below) — that cast is used twice (sum + multiply), so
+    XLA materializes a 2×-wide HBM copy of every VGG tap; the round-4
+    profile charges ~8 ms/iter of g_step 'data formatting + loop fusion'
+    to these chains. Here the sum-of-squares accumulates in f32 through a
+    fused cast (no f32 map is ever written) and the scale is applied in
+    the trunk dtype, so maps stay bf16 end-to-end. Precision: the squared
+    diffs downstream are bf16 (~1e-3 relative distance deviation vs the
+    f32-map path, tested) instead of the default's ~1e-5.
+    Opt-in via INCLUSIVEGAN_TPU_LPIPS_NORM=trunk (read at trace time);
+    default stays the f32-map path pending a matched-seed quality arm."""
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True)
+    return x * lax.rsqrt(ss + eps).astype(x.dtype)
+
+
 def _preprocess(img_255):
     """[0,255] RGB (reference feeds (x+1)*127.5, loss.py:27-30) → zhang domain.
     Non-3-channel inputs are broadcast to RGB."""
@@ -216,6 +234,9 @@ def lpips_features(params, img_255, dtype=jnp.float32):
             x = jnp.tile(jnp.mean(x, axis=1, keepdims=True), (1, 3, 1, 1))
         return _pixel_pyramid(x)
     feats = _vgg_features(params, _preprocess(img_255).astype(dtype))
+    if (dtype != jnp.float32
+            and os.environ.get("INCLUSIVEGAN_TPU_LPIPS_NORM") == "trunk"):
+        return [_normalize_channels_trunk_dtype(f) for f in feats]
     return [_normalize_channels(f.astype(jnp.float32)) for f in feats]
 
 

@@ -32,9 +32,10 @@ enable_compilation_cache()
 
 
 def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
-                  mb_per_chip=6, lpips_f32=False):
+                  mb_per_chip=6, lpips_f32=False, lpips_norm="f32"):
     os.environ["INCLUSIVEGAN_TPU_BIAS_ACT_IMPL"] = bias_impl
     os.environ["INCLUSIVEGAN_TPU_UPFIRDN_IMPL"] = fir_impl
+    os.environ["INCLUSIVEGAN_TPU_LPIPS_NORM"] = lpips_norm
     import jax
     import jax.numpy as jnp
     from inclusivegan_tpu.models import Discriminator, GMain
@@ -145,6 +146,14 @@ def main():
         # price of the bf16 LPIPS trunk default (fp32 trunk comparison)
         "fir+lpips-f32": dict(batched=False, bias_impl="jax",
                               fir_impl="pallas", lpips_f32=True),
+        # candidate: channel-normalize in the trunk dtype (no f32 map
+        # materialization, lpips.py::_normalize_channels_trunk_dtype)
+        # on top of the shipping batched+FIR defaults
+        "batched+norm-trunk": dict(batched=True, bias_impl="jax",
+                                   fir_impl="pallas", lpips_norm="trunk"),
+        # control measured in the same process order
+        "batched-ctl": dict(batched=True, bias_impl="jax",
+                            fir_impl="pallas"),
     }
     for v in args.variants.split(","):
         try:

@@ -60,3 +60,34 @@ def test_nothing_present_falls_back(monkeypatch, tmp_path):
     monkeypatch.setattr(L, "DEFAULT_WEIGHTS_PATH",
                         str(tmp_path / "missing.npz"))
     assert int(L.get_lpips_params()["_mode"]) == 2
+
+
+def test_trunk_dtype_normalize_parity(monkeypatch):
+    """INCLUSIVEGAN_TPU_LPIPS_NORM=trunk (bf16 maps, f32-accumulated
+    channel norms, no f32 map materialization — BENCH_NOTES r4) stays
+    within ~1e-2 relative distance of the default f32-map path, and the
+    flag is a no-op for a float32 trunk."""
+    import jax.numpy as jnp
+    import numpy as np
+    from inclusivegan_tpu.models.lpips import init_lpips_params, lpips_distance
+
+    params = init_lpips_params(seed=11)
+    r = np.random.RandomState(3)
+    a = jnp.asarray(r.rand(4, 3, 32, 32).astype(np.float32) * 255)
+    b = jnp.asarray(r.rand(4, 3, 32, 32).astype(np.float32) * 255)
+
+    monkeypatch.delenv("INCLUSIVEGAN_TPU_LPIPS_NORM", raising=False)
+    ref_f32 = np.asarray(lpips_distance(params, a, b))
+    ref_bf16 = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16))
+
+    monkeypatch.setenv("INCLUSIVEGAN_TPU_LPIPS_NORM", "trunk")
+    trunk_bf16 = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16))
+    trunk_f32 = np.asarray(lpips_distance(params, a, b))
+
+    np.testing.assert_array_equal(trunk_f32, ref_f32)  # flag no-op on f32
+    assert np.all(ref_f32 > 0)
+    rel = np.abs(trunk_bf16 - ref_f32) / ref_f32
+    assert rel.max() < 1e-2, (rel.max(), trunk_bf16, ref_f32)
+    # and the trunk-norm path should not be WILDLY off the bf16 default
+    rel2 = np.abs(trunk_bf16 - ref_bf16) / ref_bf16
+    assert rel2.max() < 1e-2, rel2.max()
