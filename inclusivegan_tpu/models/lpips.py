@@ -177,7 +177,9 @@ def _normalize_channels_trunk_dtype(x, eps=1e-10):
     the trunk dtype, so maps stay bf16 end-to-end. Precision: the squared
     diffs downstream are bf16 (~1e-3 relative distance deviation vs the
     f32-map path, tested) instead of the default's ~1e-5.
-    Opt-in via INCLUSIVEGAN_TPU_LPIPS_NORM=trunk (read at trace time);
+    Opt-in via TrainConfig.lpips_norm="trunk" (CLI --lpips-norm trunk) or,
+    for config-less callers, INCLUSIVEGAN_TPU_LPIPS_NORM=trunk (read at
+    trace time — see lpips_features);
     default stays the f32-map path pending a matched-seed quality arm."""
     ss = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True)
     return x * lax.rsqrt(ss + eps).astype(x.dtype)
@@ -218,7 +220,7 @@ def _pixel_pyramid(x) -> List[jnp.ndarray]:
     return feats
 
 
-def lpips_features(params, img_255, dtype=jnp.float32):
+def lpips_features(params, img_255, dtype=jnp.float32, norm=None):
     """[N,C,H,W] in [0,255] → list of tap feature maps.
 
     VGG modes: channel-normalized conv tap activations. Pixel-fallback mode
@@ -226,6 +228,13 @@ def lpips_features(params, img_255, dtype=jnp.float32):
     ``dtype`` selects the VGG conv compute precision — bfloat16 runs the
     trunk on the MXU at ~2× with the channel-normalization and reductions
     kept in float32 (measured bf16-vs-f32 distance deviation ~1e-5).
+    ``norm`` selects the channel-normalization layout: "f32" materializes
+    f32 tap maps (default), "trunk" keeps maps in the trunk dtype
+    (_normalize_channels_trunk_dtype; only meaningful when dtype≠f32).
+    None falls back to the INCLUSIVEGAN_TPU_LPIPS_NORM env var — NOTE this
+    is read at TRACE time, so config-carrying callers (TrainConfig.
+    lpips_norm) must pass it explicitly rather than toggling the env after
+    a step has been jitted.
     Exposed so callers can embed MANY images in one batched VGG call and
     form several distance pairs from slices (training/loss.g_main_loss)."""
     if "conv1_1" not in params:  # pixel-pyramid fallback (trace-static)
@@ -233,9 +242,10 @@ def lpips_features(params, img_255, dtype=jnp.float32):
         if x.shape[1] != 3:
             x = jnp.tile(jnp.mean(x, axis=1, keepdims=True), (1, 3, 1, 1))
         return _pixel_pyramid(x)
+    if norm is None:
+        norm = os.environ.get("INCLUSIVEGAN_TPU_LPIPS_NORM", "f32")
     feats = _vgg_features(params, _preprocess(img_255).astype(dtype))
-    if (dtype != jnp.float32
-            and os.environ.get("INCLUSIVEGAN_TPU_LPIPS_NORM") == "trunk"):
+    if dtype != jnp.float32 and norm == "trunk":
         return [_normalize_channels_trunk_dtype(f) for f in feats]
     return [_normalize_channels(f.astype(jnp.float32)) for f in feats]
 
@@ -249,8 +259,9 @@ def lpips_distance_from_features(params, f0, f1) -> jnp.ndarray:
     return total
 
 
-def lpips_distance(params, img0_255, img1_255, dtype=jnp.float32) -> jnp.ndarray:
+def lpips_distance(params, img0_255, img1_255, dtype=jnp.float32,
+                   norm=None) -> jnp.ndarray:
     """Perceptual distance per pair: [N,C,H,W] in [0,255] → [N] (float32)."""
     return lpips_distance_from_features(
-        params, lpips_features(params, img0_255, dtype),
-        lpips_features(params, img1_255, dtype))
+        params, lpips_features(params, img0_255, dtype, norm=norm),
+        lpips_features(params, img1_255, dtype, norm=norm))

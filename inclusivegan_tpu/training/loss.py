@@ -92,7 +92,8 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
                 latents_rec_2, reals_rec_2, labels_rec_2,
                 arb_latents, arb_labels,
                 NN_rec_lpips_weight: float = 2.5,
-                lpips_dtype=jnp.float32, batched: bool = False,
+                lpips_dtype=jnp.float32, lpips_norm=None,
+                batched: bool = False,
                 example_keys=None) -> GLossOut:
     """Main (non-lazy) G loss: rec-LPIPS + interp-LPIPS + adversarial NS.
 
@@ -138,13 +139,16 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
         arb = g_forward(arb_latents, arb_labels, k4, fwd_keys[3])
         loss_rec = 0.5 * (
             lpips_distance(lpips_params, _to_255(rec1), _to_255(reals_rec_1),
-                           dtype=lpips_dtype) +
+                           dtype=lpips_dtype, norm=lpips_norm) +
             lpips_distance(lpips_params, _to_255(rec2), _to_255(reals_rec_2),
-                           dtype=lpips_dtype)) * NN_rec_lpips_weight
+                           dtype=lpips_dtype, norm=lpips_norm)) \
+            * NN_rec_lpips_weight
         d2 = lpips_distance(lpips_params, _to_255(interp),
-                            _to_255(reals_rec_2), dtype=lpips_dtype)
+                            _to_255(reals_rec_2), dtype=lpips_dtype,
+                            norm=lpips_norm)
         d1 = lpips_distance(lpips_params, _to_255(interp),
-                            _to_255(reals_rec_1), dtype=lpips_dtype)
+                            _to_255(reals_rec_1), dtype=lpips_dtype,
+                            norm=lpips_norm)
         loss_interp = lerp(d2, d1, jnp.squeeze(t, axis=1)) * (
             NN_rec_lpips_weight * 0.4)
         arb_scores, _ = D.apply(d_params, arb, arb_labels)
@@ -179,7 +183,8 @@ def g_main_loss(g_params, d_params, *, G, D, lpips_params, rng,
     from ..models.lpips import lpips_distance_from_features, lpips_features
     stack = jnp.concatenate([_to_255(rec1), _to_255(rec2), _to_255(interp),
                              _to_255(reals_rec_1), _to_255(reals_rec_2)])
-    feats = lpips_features(lpips_params, stack, dtype=lpips_dtype)
+    feats = lpips_features(lpips_params, stack, dtype=lpips_dtype,
+                           norm=lpips_norm)
     f_rec1, f_rec2, f_interp, f_real1, f_real2 = zip(
         *(jnp.split(f, 5) for f in feats))
 

@@ -65,6 +65,13 @@ class TrainConfig(NamedTuple):
     drange_data: Tuple[float, float] = (0.0, 255.0)
     lazy_regularization: bool = True
     lpips_dtype: Any = None  # None → float32; jnp.bfloat16 for MXU-rate VGG
+    # Channel-normalization layout for the G-phase LPIPS taps: None/"f32"
+    # materializes f32 tap maps; "trunk" keeps them in lpips_dtype
+    # (models/lpips.py::_normalize_channels_trunk_dtype — saves the 2×-wide
+    # f32 HBM copies the r4 profile charged ~8 ms/iter to). Carried here so
+    # a run's normalization mode is captured in its recorded config rather
+    # than an env var read at trace time (ADVICE r4).
+    lpips_norm: Any = None
     # One synthesis + one VGG call for the whole G phase instead of the
     # reference's 4+6 separate forwards. Round-1 measured it runtime-equal
     # and shelved it; under the round-3 Pallas-FIR default it is +24%
@@ -252,6 +259,7 @@ def make_train_step(G, D, lpips_params, mesh: Mesh, cfg: TrainConfig):
                     lpips_params=lpips_params, rng=key, **d,
                     NN_rec_lpips_weight=rec_w,
                     lpips_dtype=cfg.lpips_dtype or jnp.float32,
+                    lpips_norm=cfg.lpips_norm,
                     batched=cfg.g_loss_batched)
                 return jnp.mean(out.loss), out
 

@@ -183,6 +183,9 @@ def training_loop(
     dist_thres_percentile: float = 100.0,
     attr_interesting: Optional[str] = None,
     lpips_weights_path: Optional[str] = None,
+    lpips_norm: Optional[str] = None,  # "f32" (default) or "trunk" — LPIPS
+    # tap channel-normalization layout (TrainConfig.lpips_norm; ADVICE r4:
+    # config-carried, not env-carried, so the run records it)
     image_snapshot_ticks: Optional[int] = None,
     network_snapshot_ticks: Optional[int] = None,
     num_devices: Optional[int] = None,
@@ -386,8 +389,11 @@ def training_loop(
         # on-chip under the FIR default (BENCH_NOTES r4) — the concatenated
         # batch (4*mb) fills MXU tiles the per-forward batch of 6 leaves
         # empty. Quality gate: matched-seed stacked-MNIST arm D (954 modes
-        # / KL 0.696 vs arm A 938 / 0.738).
-        g_loss_batched=G_loss_args.get("batched", True),
+        # / KL 0.696 vs arm A 938 / 0.738). The default lives ONLY on
+        # TrainConfig.g_loss_batched; G_loss_args overrides when present.
+        **({"g_loss_batched": G_loss_args["batched"]}
+           if "batched" in G_loss_args else {}),
+        lpips_norm=lpips_norm,
         gamma=D_loss_args.get("gamma", 10.0),
         G_reg_interval=G_reg_interval, D_reg_interval=D_reg_interval,
         adam_beta1=G_opt_args.get("beta1", 0.0),

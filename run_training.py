@@ -37,7 +37,7 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         resume_checkpoint=None, dtype="float32", knn_backend="auto",
         lpips_weights=None, image_snapshot_ticks=None,
         network_snapshot_ticks=None, invariant_rng=False,
-        enable_profiler=False, g_loss_batched=None):
+        enable_profiler=False, g_loss_batched=None, lpips_norm=None):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -67,6 +67,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         train.resume_checkpoint = resume_checkpoint
     if lpips_weights is not None:
         train.lpips_weights_path = lpips_weights
+    if lpips_norm is not None:
+        train.lpips_norm = lpips_norm
     train.update(data_size=data_size, num_epochs=num_epochs,
                  init_proj_dim=init_proj_dim, init_staleness=init_staleness,
                  num_samples_factor=num_samples_factor,
@@ -220,9 +222,18 @@ def main():
                         type=_str_to_bool,
                         help="fuse the four G forwards + six LPIPS passes "
                              "of the G phase into one of each (same losses "
-                             "in distribution; +63%% step throughput at mb6 "
-                             "on TPU, BENCH_NOTES r4). Default: the "
+                             "per sample; -26%% plain-step time / +24%% "
+                             "reg-cadence throughput at mb6 on TPU, "
+                             "BENCH_NOTES r4). Default: the "
                              "training-loop default")
+    parser.add_argument("--lpips-norm", default=None,
+                        choices=("f32", "trunk"),
+                        help="LPIPS tap channel-normalization layout for "
+                             "the G phase (TrainConfig.lpips_norm): f32 "
+                             "materializes f32 tap maps (default); trunk "
+                             "keeps maps in the LPIPS trunk dtype — saves "
+                             "the f32 HBM copies the r4 profile charged "
+                             "~8 ms/iter to (BENCH_NOTES r5 A/B)")
     parser.add_argument("--enable-profiler", default=False, metavar="BOOL",
                         type=_str_to_bool,
                         help="record a jax.profiler trace of iterations "

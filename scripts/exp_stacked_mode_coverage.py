@@ -106,12 +106,13 @@ def main():
                         "float32 exists for matched-seed dtype-parity runs "
                         "(VERDICT r2 item 5); bfloat16 is the TPU-native "
                         "production configuration")
-    p.add_argument("--g-loss-batched", type=int, default=0,
-                   help="1 = fuse the four G forwards + six LPIPS passes "
-                        "into one of each (loss.py::g_main_loss batched); "
-                        "same losses in distribution, +63%% on-chip step "
-                        "throughput at mb6 (BENCH_NOTES r4). 0 = the "
-                        "reference-structured per-forward variant")
+    p.add_argument("--g-loss-batched", type=int, default=1,
+                   help="1 (default, matches TrainConfig.g_loss_batched) = "
+                        "fuse the four G forwards + six LPIPS passes into "
+                        "one of each (loss.py::g_main_loss batched); same "
+                        "losses per sample, -26%% plain-step time / +24%% "
+                        "reg-cadence throughput at mb6 (BENCH_NOTES r4). "
+                        "0 = the reference-structured per-forward variant")
     p.add_argument("--ema-kimg", type=float, default=10.0,
                    help="G_smoothing_kimg (reference training_loop.py:137). "
                         "Large-batch recipes keep the EMA horizon in kimg "

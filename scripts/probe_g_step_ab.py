@@ -61,6 +61,7 @@ def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
                            TrainConfig(gamma=100.0,
                                        lpips_dtype=(jnp.float32 if lpips_f32
                                                     else dtype),
+                                       lpips_norm=lpips_norm,
                                        g_loss_batched=batched,
                                        donate_state=True))
 

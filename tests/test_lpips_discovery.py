@@ -91,3 +91,31 @@ def test_trunk_dtype_normalize_parity(monkeypatch):
     # and the trunk-norm path should not be WILDLY off the bf16 default
     rel2 = np.abs(trunk_bf16 - ref_bf16) / ref_bf16
     assert rel2.max() < 1e-2, rel2.max()
+
+
+def test_norm_arg_overrides_env(monkeypatch):
+    """ADVICE r4: the normalization mode is config-carried — the explicit
+    ``norm=`` argument (plumbed from TrainConfig.lpips_norm through
+    loss.g_main_loss) decides the path regardless of the env var, which
+    remains only the fallback default for config-less callers."""
+    import jax.numpy as jnp
+    import numpy as np
+    from inclusivegan_tpu.models.lpips import init_lpips_params, lpips_distance
+
+    params = init_lpips_params(seed=11)
+    r = np.random.RandomState(4)
+    a = jnp.asarray(r.rand(2, 3, 32, 32).astype(np.float32) * 255)
+    b = jnp.asarray(r.rand(2, 3, 32, 32).astype(np.float32) * 255)
+
+    monkeypatch.delenv("INCLUSIVEGAN_TPU_LPIPS_NORM", raising=False)
+    env_default = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16))
+    arg_trunk = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16,
+                                          norm="trunk"))
+    # env says trunk, arg says f32 → arg wins (bitwise-equal to default)
+    monkeypatch.setenv("INCLUSIVEGAN_TPU_LPIPS_NORM", "trunk")
+    env_trunk = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16))
+    arg_f32 = np.asarray(lpips_distance(params, a, b, dtype=jnp.bfloat16,
+                                        norm="f32"))
+    np.testing.assert_array_equal(arg_trunk, env_trunk)
+    np.testing.assert_array_equal(arg_f32, env_default)
+    assert np.any(arg_trunk != env_default)  # the two layouts do differ

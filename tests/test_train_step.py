@@ -343,3 +343,57 @@ def test_device_folded_rng_differs_across_mesh_sizes():
                           jnp.float32(0.99), do_g_reg=False, do_d_reg=False)
         vals.append(float(scalars["Loss/G_total"]))
     assert abs(vals[0] - vals[1]) > 1e-6
+
+
+def test_batched_g_loss_matches_unbatched_per_sample(setup):
+    """VERDICT r4 item 3: the fused G phase's "per-sample semantics
+    unchanged" claim (loss.py::g_main_loss batched=True), tested at the
+    unit level rather than distributionally.
+
+    With ``example_keys`` supplied, every per-example draw routes through
+    fold_in(example_key, salt) identically in both variants — interp t
+    (_EK_T), the style-mixing latents2 (_EK_MIX via the per-forward
+    _EK_FWD_BASE+fid parents), and the per-layer synthesis noise — and the
+    batch-scalar mixing decision/cutoff come from the same per-group key
+    split (k1..k4) in both, so the two variants must agree per sample to
+    float tolerance, not just in distribution. Without example_keys they
+    genuinely differ (unbatched draws synthesis noise from each forward's
+    own key, batched from one k_noise), which is why the adoption gate in
+    round 4 had to be distributional; this pins the aligned case exactly.
+    Reference anchor: the four forwards being fused,
+    /root/reference/training/loss.py:25-48."""
+    from inclusivegan_tpu.training.loss import g_main_loss
+
+    G, D, mesh, state, _ = setup
+    r = np.random.RandomState(42)
+    kwargs = dict(
+        G=G, D=D, lpips_params=init_lpips_params(seed=7),
+        rng=jax.random.key(11),
+        latents_rec_1=jnp.asarray(r.randn(MB, ZDIM), jnp.float32),
+        reals_rec_1=jnp.asarray(r.uniform(-1, 1, (MB, 3, RES, RES)),
+                                jnp.float32),
+        labels_rec_1=jnp.zeros((MB, 0), jnp.float32),
+        latents_rec_2=jnp.asarray(r.randn(MB, ZDIM), jnp.float32),
+        reals_rec_2=jnp.asarray(r.uniform(-1, 1, (MB, 3, RES, RES)),
+                                jnp.float32),
+        labels_rec_2=jnp.zeros((MB, 0), jnp.float32),
+        arb_latents=jnp.asarray(r.randn(MB, ZDIM), jnp.float32),
+        arb_labels=jnp.zeros((MB, 0), jnp.float32),
+        example_keys=jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.key(77), i)
+        )(jnp.arange(MB)),
+    )
+    un = g_main_loss(state.g_params, state.d_params, batched=False, **kwargs)
+    ba = g_main_loss(state.g_params, state.d_params, batched=True, **kwargs)
+
+    assert un.loss.shape == ba.loss.shape == (MB,)
+    np.testing.assert_allclose(np.asarray(ba.loss), np.asarray(un.loss),
+                               rtol=2e-5, atol=2e-6)
+    for name in un.scalars:
+        np.testing.assert_allclose(float(ba.scalars[name]),
+                                   float(un.scalars[name]),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+    assert len(un.dlatent_batch_avgs) == len(ba.dlatent_batch_avgs) == 4
+    for a, b in zip(un.dlatent_batch_avgs, ba.dlatent_batch_avgs):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
