@@ -37,7 +37,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         resume_checkpoint=None, dtype="float32", knn_backend="auto",
         lpips_weights=None, image_snapshot_ticks=None,
         network_snapshot_ticks=None, invariant_rng=False,
-        enable_profiler=False, g_loss_batched=None, lpips_norm=None):
+        enable_profiler=False, g_loss_batched=None, lpips_norm=None,
+        seed=None):
     train = EasyDict()
     G = EasyDict(init_mul=init_mul)
     D = EasyDict(init_mul=init_mul)
@@ -69,6 +70,8 @@ def run(dataset, data_dir, result_dir, config_id, num_devices, gamma,
         train.lpips_weights_path = lpips_weights
     if lpips_norm is not None:
         train.lpips_norm = lpips_norm
+    if seed is not None:
+        train.seed = seed
     train.update(data_size=data_size, num_epochs=num_epochs,
                  init_proj_dim=init_proj_dim, init_staleness=init_staleness,
                  num_samples_factor=num_samples_factor,
@@ -204,6 +207,13 @@ def main():
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation dtype (bfloat16 = TPU-native; params/optimizer stay fp32)")
+    parser.add_argument("--seed", default=None, type=int, metavar="N",
+                        help="training_loop seed (np + all jax keys; "
+                             "default 1000). Runs at identical knobs are "
+                             "deterministic, so seed-noise measurements "
+                             "and restart lotteries must vary this "
+                             "(beyond-reference knob; the reference's "
+                             "tflib.init_tf seeds are fixed)")
     parser.add_argument("--invariant-rng", default=False, metavar="BOOL",
                         type=_str_to_bool,
                         help="sharding-invariant per-example RNG: an n-chip "

@@ -32,7 +32,8 @@ enable_compilation_cache()
 
 
 def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
-                  mb_per_chip=6, lpips_f32=False, lpips_norm="f32"):
+                  mb_per_chip=6, lpips_f32=False, lpips_norm="f32",
+                  grad_accum_rounds=1):
     os.environ["INCLUSIVEGAN_TPU_BIAS_ACT_IMPL"] = bias_impl
     os.environ["INCLUSIVEGAN_TPU_UPFIRDN_IMPL"] = fir_impl
     os.environ["INCLUSIVEGAN_TPU_LPIPS_NORM"] = lpips_norm
@@ -63,6 +64,7 @@ def bench_variant(name, *, batched, bias_impl, fir_impl="conv", iters=24,
                                                     else dtype),
                                        lpips_norm=lpips_norm,
                                        g_loss_batched=batched,
+                                       grad_accum_rounds=grad_accum_rounds,
                                        donate_state=True))
 
     r = np.random.RandomState(0)
@@ -155,6 +157,14 @@ def main():
         # control measured in the same process order
         "batched-ctl": dict(batched=True, bias_impl="jax",
                             fir_impl="pallas"),
+        # VERDICT r4 item 5: grad_accum_rounds>1 has never touched TPU
+        # silicon — lax.scan microbatching over rounds of mb/rounds at the
+        # SAME per-chip batch (matched global batch vs the ctl arm's
+        # single round). Scalars finite + throughput recorded is the bar.
+        "batched+accum2": dict(batched=True, bias_impl="jax",
+                               fir_impl="pallas", grad_accum_rounds=2),
+        "batched+accum4": dict(batched=True, bias_impl="jax",
+                               fir_impl="pallas", grad_accum_rounds=4),
     }
     for v in args.variants.split(","):
         try:

@@ -243,3 +243,33 @@ def test_select_best_snapshot(tmp_path):
     pkl, value = best_snapshot(str(run_dir), metric="rec30k",
                                lower_is_better=False)
     assert pkl.endswith("network-snapshot-000240.pkl") and value == 0.9
+
+
+def test_seed_and_lpips_norm_flags_plumb(monkeypatch, tmp_path):
+    """--seed N reaches training_loop(seed=N) (the seed-noise/lottery knob;
+    runs at identical knobs are deterministic, BENCH_NOTES) and
+    --lpips-norm trunk reaches training_loop(lpips_norm='trunk')
+    (config-carried normalization mode, ADVICE r4). Unset flags leave the
+    loop defaults (seed 1000, f32 norm) undisturbed."""
+    captured = {}
+
+    def fake_submit(sc, fn, **kwargs):
+        captured["kwargs"] = kwargs
+        return None
+
+    monkeypatch.setattr(run_training, "submit_run", fake_submit)
+    common = dict(
+        dataset="toy", data_dir=str(tmp_path), result_dir=str(tmp_path),
+        config_id="config-e-Gskip-Dresnet", num_devices=1, gamma=None,
+        mirror_augment=False, metrics=[], resume_pkl=None,
+        minibatch_gpu=6, data_size=3000, num_epochs=100, init_proj_dim=None,
+        init_staleness=10, num_samples_factor=10, knn_perturb_factor=0.05,
+        candidate_batch_size=256, exclusive_retrieved_code=0,
+        NN_rec_lpips_weight=2.5, dist_thres_percentile=100.0,
+        attr_interesting=None, init_mul=1.0)
+    run_training.run(seed=1001, lpips_norm="trunk", **common)
+    assert captured["kwargs"]["seed"] == 1001
+    assert captured["kwargs"]["lpips_norm"] == "trunk"
+    run_training.run(**common)
+    assert "seed" not in captured["kwargs"]
+    assert "lpips_norm" not in captured["kwargs"]
