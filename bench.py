@@ -247,6 +247,15 @@ def main():
             result["detail"]["stacked_mnist_mode_counts_24k"] = mc2
             result["detail"]["mode_coverage_provenance"] = (
                 "training-log scrape (no artifact eval record)")
+    legacy = _artifact_mode_coverage(
+        "artifacts/legacy_unbatched/best_weights_eval.json")
+    if legacy is not None:
+        # r1-r3 record, trained under the pre-r4 four-forward G phase; kept
+        # as a separate labeled row so the headline above always carries the
+        # provenance of the SHIPPING fused-G default (VERDICT r4 item 1)
+        result["detail"]["legacy_unbatched_mode_counts_24k"] = legacy["count"]
+        result["detail"]["legacy_unbatched_KL24k"] = legacy["kl"]
+        result["detail"]["legacy_unbatched_provenance"] = legacy["provenance"]
 
     # Round-3's single json.dumps(result) line outgrew the driver's tail
     # capture (BENCH_r03.json parsed:null) — the full record now lives in
@@ -331,7 +340,7 @@ def _large_batch_recipe():
         return None
 
 
-def _artifact_mode_coverage():
+def _artifact_mode_coverage(record="artifacts/best_weights_eval.json"):
     """Preferred source: the MEASURED evaluation of the committed
     best-weights artifact (scripts/eval_artifact.py writes
     artifacts/best_weights_eval.json after restoring the fp16 pkl and
@@ -340,7 +349,7 @@ def _artifact_mode_coverage():
     caller falls back to the log scrape."""
     import hashlib
     try:
-        with open("artifacts/best_weights_eval.json") as f:
+        with open(record) as f:
             rec = json.load(f)
         h = hashlib.sha256()
         with open(rec["artifact"], "rb") as f:
@@ -348,11 +357,15 @@ def _artifact_mode_coverage():
                 h.update(chunk)
         if h.hexdigest() != rec.get("artifact_sha256"):
             return None
+        prov = ("measured on the committed artifact "
+                f"({rec.get('evaluated_utc', '?')}, "
+                "scripts/eval_artifact.py)")
+        if rec.get("g_loss_batched") is not None:
+            prov += ("; trained with g_loss_batched="
+                     f"{bool(rec['g_loss_batched'])}")
         return {"count": int(rec["mode_counts_24k"]),
                 "kl": rec.get("KL24k"),
-                "provenance": ("measured on the committed artifact "
-                               f"({rec.get('evaluated_utc', '?')}, "
-                               "scripts/eval_artifact.py)")}
+                "provenance": prov}
     except (OSError, ValueError, KeyError):
         return None
 

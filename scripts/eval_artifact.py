@@ -107,6 +107,10 @@ def main():
         "KL24k": kl,
         "kimg": meta.get("kimg"),
         "src_run": meta.get("src_run"),
+        # provenance: was the source run trained under the shipping fused-G
+        # default (TrainConfig.g_loss_batched=True)? Stamped into mirror_meta
+        # by mirror_best_checkpoint.py from the run's submit_config.txt.
+        "g_loss_batched": meta.get("g_loss_batched"),
         "classifier": os.path.relpath(args.classifier, REPO),
         "eval_run_dir": os.path.abspath(run_dir),
         "evaluated_utc": datetime.datetime.now(

@@ -84,6 +84,20 @@ def _cast_floats(tree, dtype):
     return tree
 
 
+def run_g_loss_batched(run_dir):
+    """True/False/None: the run's G_loss_args.batched flag, parsed from the
+    run harness's submit_config.txt (provenance for VERDICT r4 item 1 — the
+    headline artifact must be traceable to the shipping fused-G default)."""
+    path = os.path.join(run_dir, "submit_config.txt")
+    try:
+        with open(path) as f:
+            txt = f.read()
+    except OSError:
+        return None
+    m = re.search(r"['\"]?batched['\"]?\s*[:=]\s*(True|False)", txt)
+    return None if m is None else m.group(1) == "True"
+
+
 def mirror_weights(run_dir, kimg, count, kl, weights_file):
     """fp16-cast the best network-snapshot pkl into the git tree (the only
     storage that survives VM restarts; the 533 MB orbax full-state copy in
@@ -99,6 +113,7 @@ def mirror_weights(run_dir, kimg, count, kl, weights_file):
     snap = _cast_floats(snap, np.float16)
     snap["mirror_meta"] = {"count": count, "kl": kl, "kimg": kimg,
                            "src_run": run_dir, "dtype": "float16",
+                           "g_loss_batched": run_g_loss_batched(run_dir),
                            "ts": time.time()}
     tmp = weights_file + ".tmp"
     os.makedirs(os.path.dirname(weights_file), exist_ok=True)
@@ -245,6 +260,8 @@ def main():
                         with open(weights_stamp, "w") as f:
                             json.dump({"count": count, "kl": kl,
                                        "kimg": kimg, "src_run": run_dir,
+                                       "g_loss_batched":
+                                           run_g_loss_batched(run_dir),
                                        "ts": time.time()}, f, indent=1)
                         if args.git_commit:
                             commit_mirrors([args.weights_file, weights_stamp,
