@@ -57,11 +57,25 @@ def chain(layout, batch):
     def run(xs, ws):
         outs = []
         for (x, w) in zip(xs, ws):
+            ci = x.shape[1] if layout == "NCHW" else x.shape[3]
             for _ in range(REPS_IN_PROGRAM):
                 y = lax.conv_general_dilated(
                     x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
-                x = y[..., : x.shape[1], :, :] if layout == "NCHW" \
-                    else y[..., : x.shape[3]]
+                # feed y back as the next rep's input: slice when co > ci,
+                # channel-pad when co < ci (the 513-in mbstd layer)
+                if layout == "NCHW":
+                    if y.shape[1] < ci:
+                        y_in = jnp.concatenate(
+                            [y, y[:, : ci - y.shape[1]]], axis=1)
+                    else:
+                        y_in = y[:, :ci]
+                else:
+                    if y.shape[3] < ci:
+                        y_in = jnp.concatenate(
+                            [y, y[..., : ci - y.shape[3]]], axis=3)
+                    else:
+                        y_in = y[..., :ci]
+                x = y_in
             outs.append(jnp.sum(y.astype(jnp.float32)))
         return jnp.stack(outs)
 
